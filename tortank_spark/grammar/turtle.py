@@ -1,0 +1,931 @@
+"""A from-scratch Turtle / N-Triples document parser.
+
+This is a brand-new Python implementation whose *observable* semantics
+match the reference engine nbittich/tortank (a Rust nom recursive-descent
+parser). It is NOT a translation: the reference builds a borrowed AST of
+``TurtleValue`` enums and folds it into ``Statement`` vectors
+(/root/reference/src/turtle/turtle_parser.rs,
+/root/reference/src/turtle/turtle_doc.rs); here a single-pass
+cursor-based scanner resolves terms in document order and emits flat
+canonical triple tuples suitable for a Spark DataFrame.
+
+Observable contracts replicated (file:line cites into /root/reference):
+
+* grammar alternatives and their *order* — subject = blank node | iri |
+  collection, object = iri | blank node | collection | literal
+  (turtle_parser.rs:91-104); string literal alternative order incl. the
+  raw fallbacks (triple_common_parser.rs:174-259).
+* document-scoped, order-dependent @prefix/@base state; relative IRI
+  resolution by plain concatenation when the IRI has no scheme
+  (turtle_doc.rs:558-582); relative prefix values resolve against base
+  (turtle_doc.rs:507-518).
+* escape decoding incl. the nonstandard ``\\u{1-6 hex}`` brace form,
+  unknown escapes kept verbatim as two chars, and backslash+whitespace
+  dropped (string_parser.rs:21-168). Long-quoted strings are raw.
+* unlabeled blank-node ids from a per-document monotone counter in
+  DFS/emission order — subject before objects, collection cells in
+  cons-expansion order (turtle_doc.rs:33-51,722-848; goldens
+  examples/turtle_doc/output/0009.ttl, 0001.ttl). A configurable
+  ``bnode_prefix`` salts labels for global uniqueness at scale without
+  coordination (partition-salted counters, SURVEY.md §4).
+* collection expansion to rdf:first/rdf:rest cons chains, ``()`` ->
+  rdf:nil (turtle_parser.rs:64-73, turtle_doc.rs:801-830).
+* per-document statement dedup (turtle_doc.rs:777-790,533).
+* whole-doc failure on trailing unparsed input (turtle_doc.rs:888-905)
+  and on unparseable bool/int/float typed literals
+  (turtle_doc.rs:600-628); unknown prefix is a doc error
+  (turtle_doc.rs:572-582).
+
+Emitted triple tuple: ``(s, s_kind, p, o, o_kind, o_datatype, o_lang)``
+with kinds 'iri' | 'bnode' | 'literal'; blank nodes are rendered
+``_:<label>``. This mirrors the reference's own flat interchange struct
+RdfJsonNode/RdfJsonTriple (turtle_doc.rs:136-159).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional
+
+from .lexical import (
+    RDF_FIRST,
+    RDF_NIL,
+    RDF_REST,
+    RDF_TYPE,
+    XSD_BOOLEAN,
+    XSD_DATE,
+    XSD_DATE_TIME,
+    XSD_DECIMAL,
+    XSD_DOUBLE,
+    XSD_INTEGER,
+    XSD_STRING,
+    CoercionError,
+    I64_MAX,
+    I64_MIN,
+    canonical_date,
+    canonical_datetime,
+    has_scheme,
+    parse_bool_strict,
+    parse_f32_strict,
+    parse_f64_strict,
+    parse_i64_strict,
+    parse_instant,
+    rust_f32_str,
+    rust_f64_str,
+)
+
+# nom's multispace0 is exactly space/tab/CR/LF (not unicode whitespace).
+_WS_RE = re.compile(r"[ \t\r\n]*")
+_WS1_RE = re.compile(r"[ \t\r\n]+")
+# PN_LOCAL_ESC set from the reference grammar (src/lib.rs:34); note it
+# contains '\\' and ':' so escape sequences are kept verbatim inside
+# local names (the escaped() branch in triple_common_parser.rs:53 is
+# shadowed by the take_while branch).
+_PN_LOCAL_EXTRA = set("_~-!$&\\:()*+=/?#%")
+_NUM_RE = re.compile(r"[+-]?(?:\d+(?:\.\d*)?|\.\d+)(?:[eE][+-]?\d+)?")
+_INT_TOKEN_RE = re.compile(r"[+-]?\d+\Z")
+_LANG_RE = re.compile(r"[A-Za-z-]+")
+_SHORT_STR_CHUNK = re.compile(r'[^"\\]+')
+_HEX_RE = re.compile(r"[0-9a-fA-F]{1,6}")
+_ESCAPE_MAP = {
+    "n": "\n",
+    "r": "\r",
+    "t": "\t",
+    "b": "\x08",
+    "f": "\x0c",
+    "\\": "\\",
+    "/": "/",
+    '"': '"',
+}
+
+IRI_K = "iri"
+BNODE_K = "bnode"
+LIT_K = "literal"
+
+
+def _is_bnode_extra(c: str) -> bool:
+    # chars allowed inside a blank-node label but not first/last
+    # (triple_common_parser.rs:374-405): '.', '-', middle dot, combining
+    # marks U+0300-036F, undertie range U+203F-2040
+    return (
+        c in ".-·"
+        or "̀" <= c <= "ͯ"
+        or "‿" <= c <= "⁀"
+    )
+
+
+class DocError(Exception):
+    """Document-level parse/build failure (the whole doc is rejected,
+    matching the reference's TryFrom error path turtle_doc.rs:888-905)."""
+
+
+class _Backtrack(Exception):
+    """Internal: alternative failed; cursor is restored by the caller."""
+
+
+_BT = _Backtrack()  # singleton; no per-raise allocation
+
+
+class Node:
+    """Resolved term.
+
+    ``value`` holds the canonical lexical form for literals
+    (numbers/booleans re-rendered, temporal instants normalized — see
+    grammar/lexical.py), the full IRI for IRIs, the bare label for
+    blank nodes.
+    """
+
+    __slots__ = ("kind", "value", "datatype", "lang", "_had_preds")
+
+    def __init__(self, kind, value, datatype=None, lang=None):
+        self.kind = kind
+        self.value = value
+        self.datatype = datatype
+        self.lang = lang
+
+
+class TurtleParser:
+    """One-shot parser for a single document string.
+
+    ``bnode_prefix`` salts unlabeled blank-node labels: label =
+    f"{bnode_prefix}{counter}". The fixture harness uses the empty
+    prefix so labels are "1", "2", ... in allocation order, reproducing
+    the reference's deterministic test counter (turtle_doc.rs:33-51);
+    the Spark pipeline passes a per-document salt (url hash) for global
+    uniqueness with zero coordination.
+    """
+
+    def __init__(self, text: str, bnode_prefix: str = "",
+                 local_utc_offset_seconds: int = 0):
+        self.s = text
+        self.n = len(text)
+        self.i = 0
+        self.base: Optional[str] = None
+        self.prefixes: dict[str, str] = {}
+        self.bnode_prefix = bnode_prefix
+        self.bnode_counter = 0
+        self.local_off = local_utc_offset_seconds
+        self.triples: list[tuple] = []
+        self._seen: set[tuple] = set()
+
+    # ---------- low-level scanning ----------
+
+    def _ws(self):
+        self.i = _WS_RE.match(self.s, self.i).end()
+
+    def _ws1(self):
+        m = _WS1_RE.match(self.s, self.i)
+        if not m:
+            raise _BT
+        self.i = m.end()
+
+    def _char(self, c: str):
+        if self.i < self.n and self.s[self.i] == c:
+            self.i += 1
+        else:
+            raise _BT
+
+    def _tag_no_case(self, t: str):
+        if self.s[self.i : self.i + len(t)].lower() == t.lower():
+            self.i += len(t)
+        else:
+            raise _BT
+
+    def _comments(self):
+        """many0 of: ws, '#', take_until('\\n'), line ending
+        (triple_common_parser.rs:407-414). A '#' with no following
+        newline is not a comment (backtracked)."""
+        while True:
+            save = self.i
+            self._ws()
+            if self.i < self.n and self.s[self.i] == "#":
+                nl = self.s.find("\n", self.i + 1, self.n)
+                if nl == -1:
+                    self.i = save
+                    return
+                self.i = nl + 1
+            else:
+                self.i = save
+                return
+
+    def _rollback(self, mark: int, counter_mark: int):
+        if len(self.triples) > mark:
+            del self.triples[mark:]
+            self._seen = set(self.triples)
+        self.bnode_counter = counter_mark
+
+    # ---------- terms ----------
+
+    def _enclosed_iri(self) -> str:
+        self._ws()
+        self._char("<")
+        end = self.s.find(">", self.i, self.n)
+        if end == -1:
+            raise _BT
+        iri = self.s[self.i : end]
+        self.i = end + 1
+        return iri
+
+    def _prefixed_parts(self):
+        """prefix = run of unicode alphanumerics (may be empty); ':';
+        local = run of alphanumerics + PN_LOCAL_ESC chars, kept verbatim
+        (triple_common_parser.rs:46-59)."""
+        self._ws()
+        s = self.s
+        j = self.i
+        while j < self.n and s[j].isalnum():
+            j += 1
+        if j >= self.n or s[j] != ":":
+            raise _BT
+        prefix = s[self.i : j]
+        j += 1
+        k = j
+        while k < self.n and (s[k].isalnum() or s[k] in _PN_LOCAL_EXTRA):
+            k += 1
+        local = s[j:k]
+        self.i = k
+        return prefix, local
+
+    def _resolve_enclosed(self, iri: str) -> Node:
+        # plain concat when no scheme and a base is set
+        # (turtle_doc.rs:558-571)
+        if self.base is not None and not has_scheme(iri):
+            return Node(IRI_K, self.base + iri)
+        return Node(IRI_K, iri)
+
+    def _iri_resolved(self) -> Node:
+        save = self.i
+        try:
+            prefix, local = self._prefixed_parts()
+        except _Backtrack:
+            self.i = save
+            return self._resolve_enclosed(self._enclosed_iri())
+        ns = self.prefixes.get(prefix)
+        if ns is None:
+            # parse succeeded; resolution is a build-time doc error
+            # (turtle_doc.rs:572-582)
+            raise DocError(f"prefix {prefix} unknown")
+        return Node(IRI_K, ns + local)
+
+    def _labeled_bnode(self) -> str:
+        """_:label with PN_CHARS-ish rules; one trailing '.' stripped;
+        first/last char restrictions (triple_common_parser.rs:374-405)."""
+        self._ws()
+        if not self.s.startswith("_:", self.i):
+            raise _BT
+        self.i += 2
+        s = self.s
+        j = self.i
+        while j < self.n and (s[j].isalnum() or s[j] == "_" or _is_bnode_extra(s[j])):
+            j += 1
+        label = s[self.i : j]
+        if label.endswith("."):
+            j -= 1
+            label = label[:-1]
+        if not label or _is_bnode_extra(label[0]) or _is_bnode_extra(label[-1]):
+            raise _BT
+        self.i = j
+        return label
+
+    # ---------- string literals ----------
+
+    def _escaped_string(self) -> str:
+        """nom-example fragment fold (string_parser.rs:116-168): literal
+        chunks stop at '"' or '\\'; escapes n r t b f \\ / " and
+        \\u{1-6 hex}; backslash+whitespace dropped; any other escaped
+        char kept verbatim as backslash+char. Never fails (fold_many0) —
+        the caller verifies the closing delimiter."""
+        s = self.s
+        out = []
+        while self.i < self.n:
+            m = _SHORT_STR_CHUNK.match(s, self.i)
+            if m:
+                end = min(m.end(), self.n)
+                if end <= self.i:
+                    break
+                out.append(s[self.i : end])
+                self.i = end
+                continue
+            if s[self.i] == '"':
+                break
+            # backslash escape
+            if self.i + 1 >= self.n:
+                break  # lone backslash at EOF: fragment fails, fold stops
+            c = s[self.i + 1]
+            if c == "u" and self.i + 2 < self.n and s[self.i + 2] == "{":
+                mh = _HEX_RE.match(s, self.i + 3)
+                if mh and mh.end() < self.n and s[mh.end()] == "}":
+                    cp = int(mh.group(0), 16)
+                    if cp <= 0x10FFFF and not (0xD800 <= cp <= 0xDFFF):
+                        out.append(chr(cp))
+                        self.i = mh.end() + 1
+                        continue
+            if c in _ESCAPE_MAP:
+                out.append(_ESCAPE_MAP[c])
+                self.i += 2
+                continue
+            mws = _WS1_RE.match(s, self.i + 1)
+            if mws:
+                self.i = mws.end()  # \<ws>+ dropped entirely
+                continue
+            out.append("\\")
+            out.append(c)
+            self.i += 2
+        return "".join(out)
+
+    def _string_literal(self) -> Node:
+        """Alternative order per triple_common_parser.rs:192-228:
+        long-double, long-single (raw, no unescaping); short-single,
+        short-double (escape-decoded); raw-double, raw-single
+        (tag_no_space fallbacks). Then ^^datatype | @lang | implicit
+        xsd:string (triple_common_parser.rs:231-258)."""
+        self._ws()
+        s = self.s
+        value = None
+        for q in ('"""', "'''"):
+            if s.startswith(q, self.i):
+                end = s.find(q, self.i + 3, self.n)
+                if end != -1:
+                    value = s[self.i + 3 : end]
+                    self.i = end + 3
+                    break
+        if value is None:
+            for q in ("'", '"'):
+                if not s.startswith(q, self.i):
+                    continue
+                save = self.i
+                self.i += 1
+                v = self._escaped_string()
+                if self.i < self.n and s[self.i] == q:
+                    self.i += 1
+                    value = v
+                    break
+                self.i = save
+        if value is None:
+            # raw fallbacks with tag_no_space: whitespace around the
+            # delimiters is eaten, including leading whitespace *inside*
+            # the string — quirky but faithful
+            # (triple_common_parser.rs:211-226).
+            for q in ('"', "'"):
+                save = self.i
+                self._ws()
+                if s.startswith(q, self.i):
+                    self.i += 1
+                    self._ws()
+                    end = s.find(q, self.i, self.n)
+                    if end != -1:
+                        value = s[self.i : end]
+                        self.i = end + 1
+                        self._ws()
+                        break
+                self.i = save
+        if value is None:
+            raise _BT
+        if s.startswith("^^", self.i):
+            save = self.i
+            self.i += 2
+            try:
+                dt = self._iri_resolved()
+                return self._typed_literal(value, dt.value)
+            except _Backtrack:
+                self.i = save
+        if self.i < self.n and s[self.i] == "@":
+            m = _LANG_RE.match(s, self.i + 1)
+            if m:
+                self.i = m.end()
+                return Node(LIT_K, value, None, m.group(0))
+        return Node(LIT_K, value, XSD_STRING, None)
+
+    def _typed_literal(self, value: str, dt: str) -> Node:
+        """Typed coercion at build time (turtle_doc.rs:600-710).
+        bool/int/decimal/double raise CoercionError (hard doc error);
+        date/dateTime fall back to the verbatim quoted literal; time and
+        opaque datatypes stay verbatim (see grammar/lexical.py)."""
+        if dt == XSD_BOOLEAN:
+            return Node(LIT_K, "true" if parse_bool_strict(value) else "false", dt)
+        if dt == XSD_INTEGER:
+            return Node(LIT_K, str(parse_i64_strict(value)), dt)
+        if dt == XSD_DECIMAL:
+            return Node(LIT_K, rust_f32_str(parse_f32_strict(value)), dt)
+        if dt == XSD_DOUBLE:
+            return Node(LIT_K, rust_f64_str(parse_f64_strict(value)), dt)
+        if dt in (XSD_DATE_TIME, XSD_DATE):
+            inst = parse_instant(value, self.local_off)
+            if inst is not None:
+                canon = (
+                    canonical_datetime(inst)
+                    if dt == XSD_DATE_TIME
+                    else canonical_date(inst)
+                )
+                return Node(LIT_K, canon, dt)
+        return Node(LIT_K, value, dt)
+
+    # ---------- numeric / boolean ----------
+
+    def _primitive_literal(self) -> Node:
+        self._ws()
+        s = self.s
+        # boolean, case-sensitive in Turtle
+        # (triple_common_parser.rs:132-152,170-172); no word boundary
+        # check, like the reference's tag()
+        if s.startswith("true", self.i):
+            self.i += 4
+            self._ws()
+            return Node(LIT_K, "true", XSD_BOOLEAN)
+        if s.startswith("false", self.i):
+            self.i += 5
+            self._ws()
+            return Node(LIT_K, "false", XSD_BOOLEAN)
+        m = _NUM_RE.match(s, self.i)
+        if not m or m.end() > self.n:
+            raise _BT
+        tok = m.group(0)
+        self.i = m.end()
+        # i64 -> f32 -> f64 ladder (triple_common_parser.rs:154-164)
+        if _INT_TOKEN_RE.match(tok) and I64_MIN <= int(tok) <= I64_MAX:
+            return Node(LIT_K, str(int(tok)), XSD_INTEGER)
+        return Node(LIT_K, rust_f32_str(float(tok)), XSD_DECIMAL)
+
+    # ---------- blank nodes / collections ----------
+
+    def _new_bnode(self) -> Node:
+        self.bnode_counter += 1
+        return Node(BNODE_K, f"{self.bnode_prefix}{self.bnode_counter}")
+
+    def _anon_bnode(self) -> Node:
+        """'[' (predicate-object list | empty) ']'
+        (turtle_parser.rs:75-78). The closing ']' is under nom ``cut``:
+        failure is a hard doc error (triple_common_parser.rs:369).
+        Allocates the bnode id before materializing its objects
+        (turtle_doc.rs:740-759)."""
+        self._ws()
+        self._char("[")
+        mark = len(self.triples)
+        cmark = self.bnode_counter
+        save = self.i
+        try:
+            subj = self._new_bnode()
+            povs = self._predicate_object_list()
+            node = self._emit_statement(subj, povs)
+            had_preds = True
+        except _Backtrack:
+            self._rollback(mark, cmark)
+            self.i = save
+            node = self._new_bnode()
+            had_preds = False
+        self._ws()
+        if self.i < self.n and self.s[self.i] == "]":
+            self.i += 1
+        else:
+            raise DocError("expected ']' closing anonymous blank node")
+        node._had_preds = had_preds  # type: ignore[attr-defined]
+        return node
+
+    def _collection(self) -> Node:
+        """'(' objects ')' -> rdf:first/rdf:rest cons chain; '()' ->
+        rdf:nil. Cell bnodes allocate before their item materializes;
+        rest-triples are emitted on recursion unwind, matching the
+        reference's recursive expansion (turtle_doc.rs:801-830; ordering
+        proven by examples/turtle_doc/output/0001.ttl). The closing ')'
+        is under nom ``cut`` (triple_common_parser.rs:353)."""
+        self._ws()
+        self._char("(")
+        thunks = []
+        first = True
+        while True:
+            save = self.i
+            if not first:
+                try:
+                    self._ws1()
+                except _Backtrack:
+                    break
+            try:
+                thunks.append(self._object_deferred())
+                first = False
+            except _Backtrack:
+                self.i = save
+                break
+        self._ws()
+        if self.i < self.n and self.s[self.i] == ")":
+            self.i += 1
+        else:
+            raise DocError("expected ')' closing collection")
+        if not thunks:
+            return Node(IRI_K, RDF_NIL)
+        cells = []
+        for thunk in thunks:
+            cell = self._new_bnode()
+            item = thunk()
+            self._emit(cell, Node(IRI_K, RDF_FIRST), item)
+            cells.append(cell)
+        for idx in range(len(cells) - 1, -1, -1):
+            rest = cells[idx + 1] if idx + 1 < len(cells) else Node(IRI_K, RDF_NIL)
+            self._emit(cells[idx], Node(IRI_K, RDF_REST), rest)
+        return cells[0]
+
+    # ---------- deferred object parsing ----------
+    #
+    # Object terms are parsed immediately but *materialized* lazily:
+    # blank-node allocation and nested-triple emission must happen in the
+    # reference's fold order (subject first, then each predicate-object
+    # pair in sequence — turtle_doc.rs:748-799), which for collections
+    # means after the enclosing cons cell's id is allocated. Terms with
+    # no side effects capture their resolved Node; anon bnodes and
+    # collections record their source span and replay it at
+    # materialization time (prefix/base state cannot change within a
+    # statement, so replay is faithful).
+
+    def _object_deferred(self):
+        self._ws()
+        save = self.i
+        # order: iri, blank node, collection, literal
+        # (turtle_parser.rs:98-104)
+        try:
+            n = self._iri_resolved()
+            return lambda n=n: n
+        except _Backtrack:
+            self.i = save
+        try:
+            label = self._labeled_bnode()
+            return lambda label=label: Node(BNODE_K, label)
+        except _Backtrack:
+            self.i = save
+        self._ws()
+        if self.i < self.n and self.s[self.i] == "[":
+            start, end = self._scan_bracket_span("[", "]")
+            return lambda self=self, a=start, b=end: _replay(self, a, b, "anon")
+        if self.i < self.n and self.s[self.i] == "(":
+            start, end = self._scan_bracket_span("(", ")")
+            return lambda self=self, a=start, b=end: _replay(self, a, b, "coll")
+        self.i = save
+        try:
+            lit = self._string_literal()
+            return lambda lit=lit: lit
+        except _Backtrack:
+            self.i = save
+        lit = self._primitive_literal()
+        return lambda lit=lit: lit
+
+    def _scan_bracket_span(self, open_c: str, close_c: str):
+        """Find the matching close bracket, skipping strings, enclosed
+        IRIs and comments (comments are only valid right after ';',
+        matching the grammar's comment positions). Raises DocError when
+        unbalanced (the closer sits under nom ``cut``)."""
+        s = self.s
+        start = self.i
+        depth = 0
+        j = start
+        last_sig = ""
+        while j < self.n:
+            c = s[j]
+            if c == open_c:
+                depth += 1
+                j += 1
+            elif c == close_c:
+                depth -= 1
+                j += 1
+                if depth == 0:
+                    self.i = j
+                    return start, j
+            elif c == "<":
+                gt = s.find(">", j + 1, self.n)
+                j = self.n if gt == -1 else gt + 1
+            elif c in "\"'":
+                j = self._skip_string_span(j)
+            elif c == "#" and last_sig == ";":
+                nl = s.find("\n", j, self.n)
+                j = self.n if nl == -1 else nl + 1
+                continue
+            else:
+                j += 1
+            if not c.isspace():
+                last_sig = c
+        raise DocError(f"expected '{close_c}' closing bracketed term")
+
+    def _skip_string_span(self, j: int) -> int:
+        s = self.s
+        for q in ('"""', "'''"):
+            if s.startswith(q, j):
+                end = s.find(q, j + 3, self.n)
+                return self.n if end == -1 else end + 3
+        q = s[j]
+        k = j + 1
+        while k < self.n:
+            if s[k] == "\\":
+                k += 2
+            elif s[k] == q:
+                return k + 1
+            else:
+                k += 1
+        return self.n
+
+    # ---------- predicate-object structure ----------
+
+    def _predicate(self) -> Node:
+        """bare 'a' (followed by whitespace) -> rdf:type, else iri
+        (turtle_parser.rs:94-96; triple_common_parser.rs:304-310)."""
+        save = self.i
+        self._ws()
+        if self.i < self.n and self.s[self.i] == "a":
+            m = _WS1_RE.match(self.s, self.i + 1)
+            if m:
+                self.i = m.end()
+                return Node(IRI_K, RDF_TYPE)
+        self.i = save
+        return self._iri_resolved()
+
+    def _object_list(self):
+        """','-separated objects (deferred thunks)
+        (triple_common_parser.rs:282-303)."""
+        items = [self._object_deferred()]
+        while True:
+            save = self.i
+            self._ws()
+            if self.i < self.n and self.s[self.i] == ",":
+                self.i += 1
+                self._ws()
+                try:
+                    items.append(self._object_deferred())
+                    continue
+                except _Backtrack:
+                    pass
+            self.i = save
+            break
+        return items
+
+    def _predicate_object_list(self):
+        """';'-separated (predicate, object-list) pairs; comments are
+        allowed after ';' (triple_common_parser.rs:311-341)."""
+        povs = [(self._predicate(), self._object_list())]
+        while True:
+            save = self.i
+            self._ws()
+            if self.i < self.n and self.s[self.i] == ";":
+                self.i += 1
+                self._comments()
+                try:
+                    povs.append((self._predicate(), self._object_list()))
+                    continue
+                except _Backtrack:
+                    pass
+            self.i = save
+            break
+        return povs
+
+    # ---------- emission ----------
+
+    def _emit(self, s: Node, p: Node, o: Node):
+        row = (
+            ("_:" + s.value) if s.kind == BNODE_K else s.value,
+            s.kind,
+            p.value,
+            ("_:" + o.value) if o.kind == BNODE_K else o.value,
+            o.kind,
+            o.datatype,
+            o.lang,
+        )
+        if row not in self._seen:
+            self._seen.add(row)
+            self.triples.append(row)
+
+    def _emit_statement(self, subj: Node, povs) -> Node:
+        for pred, obj_thunks in povs:
+            for thunk in obj_thunks:
+                self._emit(subj, pred, thunk())
+        return subj
+
+    # ---------- statements ----------
+
+    def _subject(self) -> Node:
+        """blank node | iri | collection (turtle_parser.rs:91-93). Anon
+        blank-node subjects materialize immediately (id allocated before
+        the outer objects — turtle_doc.rs:752-759)."""
+        save = self.i
+        try:
+            return Node(BNODE_K, self._labeled_bnode())
+        except _Backtrack:
+            self.i = save
+        self._ws()
+        if self.i < self.n and self.s[self.i] == "[":
+            return self._anon_bnode()
+        self.i = save
+        try:
+            return self._iri_resolved()
+        except _Backtrack:
+            self.i = save
+        self._ws()
+        if self.i < self.n and self.s[self.i] == "(":
+            return self._collection()
+        raise _BT
+
+    def _directive(self) -> bool:
+        """@base/BASE/@prefix/PREFIX, case-insensitive tags; turtle forms
+        require a trailing '.' (turtle_parser.rs:152-156;
+        triple_common_parser.rs:82-118). Mutates doc context in order —
+        later directives redefine earlier ones for subsequent statements
+        (proven by examples/turtle_doc/input/0028.ttl)."""
+        save = self.i
+        try:
+            self._ws()
+            self._tag_no_case("BASE")
+            self.base = self._enclosed_iri()
+            return True
+        except _Backtrack:
+            self.i = save
+        try:
+            self._ws()
+            self._tag_no_case("@base")
+            iri = self._enclosed_iri()
+            self._ws()
+            self._char(".")
+            self.base = iri
+            return True
+        except _Backtrack:
+            self.i = save
+        try:
+            self._ws()
+            self._tag_no_case("@prefix")
+            self._ws()
+            name = self._take_until_colon()
+            iri = self._enclosed_iri()
+            self._ws()
+            self._char(".")
+            self._set_prefix(name, iri)
+            return True
+        except _Backtrack:
+            self.i = save
+        try:
+            self._ws()
+            self._tag_no_case("PREFIX")
+            self._ws()
+            name = self._take_until_colon()
+            iri = self._enclosed_iri()
+            self._set_prefix(name, iri)
+            return True
+        except _Backtrack:
+            self.i = save
+        return False
+
+    def _take_until_colon(self) -> str:
+        colon = self.s.find(":", self.i, self.n)
+        if colon == -1:
+            raise _BT
+        name = self.s[self.i : colon]
+        self.i = colon + 1
+        return name
+
+    def _set_prefix(self, name: str, iri: str):
+        if not has_scheme(iri):
+            iri = (self.base or "") + iri
+        self.prefixes[name] = iri
+
+    def _triples_stmt(self):
+        """One triples statement incl. the '.' / EOF terminator
+        (turtle_parser.rs:106-112)."""
+        save = self.i
+        mark = len(self.triples)
+        cmark = self.bnode_counter
+        try:
+            subj = self._subject()
+            povs = self._predicate_object_list()
+            self._emit_statement(subj, povs)
+        except _Backtrack:
+            self._rollback(mark, cmark)
+            self.i = save
+            self._ws()
+            if not (self.i < self.n and self.s[self.i] == "["):
+                raise _BT
+            node = self._anon_bnode()
+            if not getattr(node, "_had_preds", False):
+                # bare '[]' statement -> TurtleValue::BNode at top level
+                # -> "incorrect turtle value" (turtle_doc.rs:525-529)
+                raise DocError("incorrect turtle value")
+        self._ws()
+        if self.i < self.n:
+            if self.s[self.i] != ".":
+                raise _BT
+            self.i += 1
+            self._ws()
+
+    # ---------- top level ----------
+
+    def parse(self):
+        """many0(statement) then trailing comments; leftover input fails
+        the whole doc (turtle_doc.rs:888-905)."""
+        while True:
+            self._comments()
+            if self.i >= self.n:
+                break
+            if self._directive():
+                continue
+            save = self.i
+            mark = len(self.triples)
+            cmark = self.bnode_counter
+            try:
+                self._triples_stmt()
+            except _Backtrack:
+                self._rollback(mark, cmark)
+                self.i = save
+                break
+        self._comments()
+        self._ws()
+        if self.i < self.n:
+            raise DocError(
+                "could not parse the doc completely: rest => "
+                + repr(self.s[self.i : self.i + 80])
+            )
+        return self.triples
+
+
+def _replay(parser: TurtleParser, start: int, end: int, what: str):
+    """Re-parse a recorded '[...]'/'(...)' span with the live parser
+    state (bnode counter advances at materialization time)."""
+    save_i, save_n = parser.i, parser.n
+    parser.i, parser.n = start, end
+    try:
+        if what == "anon":
+            return parser._anon_bnode()
+        return parser._collection()
+    finally:
+        parser.i, parser.n = save_i, save_n
+
+
+def parse_document(
+    text: str, bnode_prefix: str = "", local_utc_offset_seconds: int = 0
+):
+    """Parse one Turtle/N-Triples document.
+
+    Returns ``(triples, error)``: a list of canonical 7-tuples
+    ``(s, s_kind, p, o, o_kind, o_datatype, o_lang)`` and None on
+    success, or ``([], message)`` on a document-level failure — the
+    reference rejects the whole doc (turtle_doc.rs:888-905); a web-scale
+    pipeline quarantines the row instead of crashing the job
+    (SURVEY.md §7 hard-part 5).
+    """
+    p = TurtleParser(text, bnode_prefix, local_utc_offset_seconds)
+    try:
+        return p.parse(), None
+    except (DocError, CoercionError) as e:
+        return [], str(e)
+    except _Backtrack:
+        return [], "parse error"
+
+
+def parse_ntriples_statement(text: str, offset: int = 0):
+    """Incremental single-statement parse — the reference's pull-based
+    streaming source (turtle_doc.rs:338-361, grammar
+    turtle_parser.rs:114-150). Returns ``(new_offset, triple)`` or None
+    at end of input; raises DocError on malformed input."""
+    p = TurtleParser(text)
+    p.i = offset
+    p._comments()
+    if p.i >= p.n:
+        return None
+    try:
+        subj = p._subject_ntriples()
+        pred = p._predicate()
+        p._ws()
+        obj = p._object_ntriples()
+    except _Backtrack:
+        raise DocError(
+            "invalid n-triples statement at offset " + str(offset)
+        ) from None
+    p._emit(subj, pred, obj)
+    p._ws()
+    if p.i < p.n:
+        if p.s[p.i] != ".":
+            raise DocError("expected '.' terminating n-triples statement")
+        p.i += 1
+        p._ws()
+    return p.i, p.triples[0]
+
+
+def _subject_ntriples(self):
+    save = self.i
+    try:
+        return Node(BNODE_K, self._labeled_bnode())
+    except _Backtrack:
+        self.i = save
+    return self._iri_resolved()
+
+
+def _object_ntriples(self):
+    save = self.i
+    try:
+        return self._iri_resolved()
+    except _Backtrack:
+        self.i = save
+    try:
+        return Node(BNODE_K, self._labeled_bnode())
+    except _Backtrack:
+        self.i = save
+    try:
+        return self._string_literal()
+    except _Backtrack:
+        self.i = save
+    return self._primitive_literal()
+
+
+TurtleParser._subject_ntriples = _subject_ntriples
+TurtleParser._object_ntriples = _object_ntriples
+del _subject_ntriples, _object_ntriples
