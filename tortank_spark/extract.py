@@ -1,0 +1,105 @@
+"""Vectorized triple-extraction stage — the engine's "scan".
+
+The whole reference parse pipeline (grammar rules P1-P24, SURVEY.md
+§2.2) runs as ONE Arrow-batched ``mapInPandas`` stage over the page
+table: state is document-scoped (prefix redefinition mid-doc,
+turtle_doc.rs:489-540) so a document is the natural unit of work, and
+documents are rows. Arrow moves batches JVM<->Python zero-copy; the
+per-doc parse is pure Python but amortized across 2k-row batches —
+there is no per-row Python UDF dispatch.
+
+Scale design (100 TB / 10^12 docs):
+* embarrassingly parallel — no shuffle; parallelism = input splits.
+  Column pruning reaches the parquet scan (only url+text are read).
+* blank-node labels are salted with sha1(url) so they are globally
+  unique with zero coordination (partition-salted counters,
+  SURVEY.md §4) while preserving the reference's per-doc allocation
+  order.
+* parse failures become quarantine rows (parse_ok=false, error) —
+  never job failures.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+from .grammar.turtle import parse_document
+from .schema import DOC_METRICS_SCHEMA, EXTRACT_SCHEMA, TRIPLE_SCHEMA
+
+_COLS = ["url", "s", "s_kind", "p", "o", "o_kind", "o_datatype", "o_lang",
+         "parse_ok", "error"]
+
+
+def _salt(url: str) -> str:
+    return hashlib.sha1(url.encode("utf-8", "surrogatepass")).hexdigest()[:12] + "-"
+
+
+def _extract_batches(
+    batches: Iterator[pd.DataFrame], fixture_mode: bool
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        urls: list = []
+        rows: list = []
+        for url, text in zip(pdf["url"].values, pdf["text"].values):
+            prefix = "" if fixture_mode else _salt(url)
+            triples, err = parse_document(text or "", bnode_prefix=prefix)
+            if err is not None:
+                rows.append((url, None, None, None, None, None, None, None,
+                             False, err))
+            elif not triples:
+                rows.append((url, None, None, None, None, None, None, None,
+                             True, None))
+            else:
+                for t in triples:
+                    rows.append((url, *t, True, None))
+        yield pd.DataFrame(rows, columns=_COLS)
+
+
+def extract_triples(pages: DataFrame, fixture_mode: bool = False) -> DataFrame:
+    """pages(url, text, ...) -> raw extraction rows incl. quarantine rows.
+
+    ``fixture_mode`` disables url-salting of blank-node labels so labels
+    are the reference's deterministic per-doc counter ``_:1, _:2, ...``
+    (turtle_doc.rs:33-51) — used by the fixture P/R harness.
+    """
+    cols = pages.select("url", "text")  # explicit pruning to the scan
+    return cols.mapInPandas(
+        lambda it: _extract_batches(it, fixture_mode), schema=EXTRACT_SCHEMA
+    )
+
+
+def triples_only(extracted: DataFrame) -> DataFrame:
+    """Keep good triple rows with the canonical triple schema."""
+    return extracted.filter(F.col("parse_ok") & F.col("s").isNotNull()).select(
+        *[f.name for f in TRIPLE_SCHEMA.fields]
+    )
+
+
+def doc_metrics(pages: DataFrame, fixture_mode: bool = False) -> DataFrame:
+    """Per-document lineage/metrics rows: parse status, triple count,
+    byte-fidelity witness (sha1 of text) — the per-row invariant of
+    BASELINE.json input_hint is checked against this table."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for url, text in zip(pdf["url"].values, pdf["text"].values):
+                text = text or ""
+                prefix = "" if fixture_mode else _salt(url)
+                triples, err = parse_document(text, bnode_prefix=prefix)
+                sha = hashlib.sha1(text.encode("utf-8", "surrogatepass")).hexdigest()
+                out.append(
+                    (url, err is None, len(triples), err, sha, len(text))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["url", "parse_ok", "n_triples", "error",
+                         "text_sha1", "n_chars"],
+            )
+
+    return pages.select("url", "text").mapInPandas(gen, schema=DOC_METRICS_SCHEMA)

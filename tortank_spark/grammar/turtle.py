@@ -452,6 +452,19 @@ class TurtleParser:
         self.bnode_counter += 1
         return Node(BNODE_K, f"{self.bnode_prefix}{self.bnode_counter}")
 
+    def _labeled_node(self, label: str) -> Node:
+        """Labeled blank nodes are *document-scoped* identities. In
+        fixture mode (empty prefix) labels are kept verbatim like the
+        reference (turtle_doc.rs:733-737); in salted mode they get the
+        per-doc salt + 'L' marker so neither cross-document label reuse
+        nor the unlabeled counter can collide at 10^12-doc scale (the
+        reference skolemizes against one global well-known prefix,
+        turtle_doc.rs:734-736 — correct for single docs, ambiguous
+        across a corpus)."""
+        if self.bnode_prefix:
+            return Node(BNODE_K, f"{self.bnode_prefix}L{label}")
+        return Node(BNODE_K, label)
+
     def _anon_bnode(self) -> Node:
         """'[' (predicate-object list | empty) ']'
         (turtle_parser.rs:75-78). The closing ']' is under nom ``cut``:
@@ -547,7 +560,7 @@ class TurtleParser:
             self.i = save
         try:
             label = self._labeled_bnode()
-            return lambda label=label: Node(BNODE_K, label)
+            return lambda self=self, label=label: self._labeled_node(label)
         except _Backtrack:
             self.i = save
         self._ws()
@@ -702,7 +715,7 @@ class TurtleParser:
         the outer objects — turtle_doc.rs:752-759)."""
         save = self.i
         try:
-            return Node(BNODE_K, self._labeled_bnode())
+            return self._labeled_node(self._labeled_bnode())
         except _Backtrack:
             self.i = save
         self._ws()
@@ -903,7 +916,7 @@ def parse_ntriples_statement(text: str, offset: int = 0):
 def _subject_ntriples(self):
     save = self.i
     try:
-        return Node(BNODE_K, self._labeled_bnode())
+        return self._labeled_node(self._labeled_bnode())
     except _Backtrack:
         self.i = save
     return self._iri_resolved()
@@ -916,7 +929,7 @@ def _object_ntriples(self):
     except _Backtrack:
         self.i = save
     try:
-        return Node(BNODE_K, self._labeled_bnode())
+        return self._labeled_node(self._labeled_bnode())
     except _Backtrack:
         self.i = save
     try:

@@ -1,0 +1,75 @@
+"""Entity linking: batched mention detection + alias-dictionary scoring.
+
+North-rule stage: detect candidate entity mentions in page text and
+score them against a *broadcast* alias dictionary (the dictionary is
+small — always the build side of a broadcast-hash join; the page/triple
+side never shuffles).
+
+Mention detection is pure column expressions (JVM-side, whole-stage
+codegen): lowercase, strip punctuation, split, explode, distinct per
+url. No Python in the hot path.
+
+Output: (url, mention, entity_iri, score) candidate links, plus
+``links_as_triples`` to lift accepted links into the triple table as
+ex:mentions edges.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+MENTIONS_PRED = "http://tortank-spark.dev/ns#mentions"
+
+
+def detect_mentions(pages: DataFrame, min_len: int = 3) -> DataFrame:
+    """pages(url, text) -> (url, mention, tf) distinct lowercase tokens
+    with per-document term frequency."""
+    toks = pages.select(
+        "url",
+        F.explode(
+            F.split(F.lower(F.col("text")), r"[^0-9\p{L}_-]+")
+        ).alias("mention"),
+    ).filter(F.length("mention") >= min_len)
+    return toks.groupBy("url", "mention").agg(F.count("*").alias("tf"))
+
+
+def link_mentions(
+    mentions: DataFrame, alias_dict: DataFrame, min_score: float = 0.0
+) -> DataFrame:
+    """Broadcast-hash join mentions x alias dict; score = prior weighted
+    by log-scaled term frequency."""
+    linked = mentions.join(
+        F.broadcast(alias_dict), mentions.mention == alias_dict["alias"], "inner"
+    )
+    scored = linked.select(
+        "url",
+        "mention",
+        "entity_iri",
+        (F.col("prior") * (F.lit(1.0) + F.log1p(F.col("tf")))).alias("score"),
+    )
+    return scored.filter(F.col("score") >= min_score)
+
+
+def best_link_per_mention(links: DataFrame) -> DataFrame:
+    """Keep the best-scoring entity per (url, mention) — a max-by
+    aggregation (map-side partial agg), not a window sort."""
+    return links.groupBy("url", "mention").agg(
+        F.max_by("entity_iri", "score").alias("entity_iri"),
+        F.max("score").alias("score"),
+    )
+
+
+def links_as_triples(links: DataFrame) -> DataFrame:
+    """Lift accepted links into canonical triple rows:
+    (page-url-iri, ex:mentions, entity_iri)."""
+    return links.select(
+        "url",
+        F.col("url").alias("s"),
+        F.lit("iri").alias("s_kind"),
+        F.lit(MENTIONS_PRED).alias("p"),
+        F.col("entity_iri").alias("o"),
+        F.lit("iri").alias("o_kind"),
+        F.lit(None).cast("string").alias("o_datatype"),
+        F.lit(None).cast("string").alias("o_lang"),
+    ).distinct()

@@ -1,0 +1,171 @@
+"""End-to-end KG-construction pipeline with per-partition checkpoints,
+lineage and metrics (the north rule's resumable-batch contract).
+
+Stages (all pure batch DataFrame transforms):
+  pages -> extract (vectorized parse UDF) -> entity linking (broadcast
+  alias join) -> sameAs connected-components canonicalization ->
+  materialize partitioned triple tables + lineage + metrics.
+
+Resumability model: the page table is split into K *buckets* by
+pmod(xxhash64(url), K) — a deterministic, data-independent partitioner,
+so a rerun sees the same buckets. Each bucket is processed and written
+independently (idempotent overwrite of its own output directory); a
+bucket directory containing a _MANIFEST.json marks completion and is
+skipped on rerun. Crash between buckets -> rerun does only the missing
+buckets. On a real cluster the bucket count is sized so one bucket is
+one comfortable job (e.g. 1024 buckets over 10^12 docs); checkpoint
+granularity and shuffle width are then independent knobs.
+
+Canonicalization runs per bucket over that bucket's sameAs edges plus
+any cross-bucket edges stored in the shared edge sidecar — at 100 TB
+the global CC step is its own job over the (tiny relative) edge table;
+here the same code path runs globally when ``global_cc`` is set.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+from . import fixtures
+from .canonicalize import connected_components, rewrite_canonical, sameas_edges
+from .extract import extract_triples, triples_only
+from .linking import best_link_per_mention, detect_mentions, link_mentions, links_as_triples
+from .schema import TRIPLE_COLS
+
+
+def bucket_of(url_col, n_buckets: int):
+    return F.pmod(F.xxhash64(url_col), F.lit(n_buckets)).cast("int")
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_dir: str,
+    n_buckets: int = 8,
+    alias_dict: DataFrame | None = None,
+    min_link_score: float = 0.2,
+) -> dict:
+    """Run (or resume) the pipeline; returns run metrics."""
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    t0 = time.time()
+    done, ran = [], []
+    pages_b = pages.withColumn("_bucket", bucket_of(F.col("url"), n_buckets))
+    for b in range(n_buckets):
+        bdir = out / f"bucket={b}"
+        manifest = bdir / "_MANIFEST.json"
+        if manifest.exists():
+            done.append(b)
+            continue
+        stats = _run_bucket(
+            spark,
+            pages_b.filter(F.col("_bucket") == b).drop("_bucket"),
+            str(bdir),
+            alias_dict,
+            min_link_score,
+        )
+        manifest.write_text(json.dumps(stats, indent=1))
+        ran.append(b)
+    # global canonicalization over the union of bucket edge sidecars
+    cmap_dir = out / "canonical_map"
+    edges = spark.read.parquet(str(out / "bucket=*" / "sameas_edges"))
+    cmap = connected_components(edges)
+    cmap.write.mode("overwrite").parquet(str(cmap_dir))
+    cmap = spark.read.parquet(str(cmap_dir))
+    triples = spark.read.parquet(str(out / "bucket=*" / "triples"))
+    canonical = rewrite_canonical(triples, cmap)
+    (
+        canonical.repartition(max(n_buckets, 8), "p")
+        .write.mode("overwrite")
+        .parquet(str(out / "triples_canonical"))
+    )
+    wall = time.time() - t0
+    n_triples = spark.read.parquet(str(out / "triples_canonical")).count()
+    run_stats = {
+        "buckets_total": n_buckets,
+        "buckets_skipped": done,
+        "buckets_ran": ran,
+        "n_canonical_triples": n_triples,
+        "wall_sec": round(wall, 3),
+    }
+    (out / "_RUN.json").write_text(json.dumps(run_stats, indent=1))
+    return run_stats
+
+
+def _run_bucket(
+    spark: SparkSession,
+    pages: DataFrame,
+    bdir: str,
+    alias_dict: DataFrame | None,
+    min_link_score: float,
+) -> dict:
+    pages = pages.persist()
+    extracted = extract_triples(pages).persist()
+    triples = triples_only(extracted)
+
+    link_triples = None
+    if alias_dict is not None:
+        mentions = detect_mentions(pages)
+        links = best_link_per_mention(
+            link_mentions(mentions, alias_dict, min_link_score)
+        )
+        link_triples = links_as_triples(links)
+        all_triples = triples.unionByName(link_triples)
+    else:
+        all_triples = triples
+
+    all_triples.write.mode("overwrite").parquet(f"{bdir}/triples")
+    sameas_edges(triples).write.mode("overwrite").parquet(
+        f"{bdir}/sameas_edges"
+    )
+    # lineage: url -> bucket + per-doc counts + parse status
+    lineage = extracted.groupBy("url").agg(
+        F.sum(F.when(F.col("s").isNotNull(), 1).otherwise(0)).alias("n_triples"),
+        F.min(F.col("parse_ok").cast("int")).cast("boolean").alias("parse_ok"),
+        F.first("error", ignorenulls=True).alias("error"),
+    )
+    lineage.write.mode("overwrite").parquet(f"{bdir}/lineage")
+    agg = lineage.agg(
+        F.count("*").alias("docs"),
+        F.sum("n_triples").alias("triples"),
+        F.sum(F.when(~F.col("parse_ok"), 1).otherwise(0)).alias("parse_failures"),
+    ).collect()[0]
+    pages.unpersist()
+    extracted.unpersist()
+    return {
+        "docs": agg["docs"],
+        "triples": int(agg["triples"] or 0),
+        "parse_failures": int(agg["parse_failures"] or 0),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser(description="tortank-spark KG pipeline")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--pages", type=int, default=256)
+    ap.add_argument("--buckets", type=int, default=8)
+    ap.add_argument("--cpus", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    args = ap.parse_args()
+
+    from .session import get_spark
+
+    spark = get_spark("tortank-pipeline", cpus=args.cpus)
+    spark.sparkContext.setLogLevel("WARN")
+    pages = fixtures.make_pages(spark, n_pages=args.pages,
+                                n_partitions=max(args.cpus, 8))
+    alias_dict = fixtures.make_alias_dict(spark)
+    stats = run_pipeline(spark, pages, args.out, n_buckets=args.buckets,
+                         alias_dict=alias_dict)
+    print(json.dumps(stats))
+
+
+if __name__ == "__main__":
+    main()
