@@ -1,0 +1,275 @@
+"""Unit tests for algebra, canonicalization, dedup, similarity,
+textops and multimodal operators on small in-memory data."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from tortank_spark.schema import TRIPLE_SCHEMA
+
+
+def make_triples(spark, rows):
+    return spark.createDataFrame(
+        [("u", s, sk, p, o, ok, dt, lg) for (s, sk, p, o, ok, dt, lg) in rows],
+        TRIPLE_SCHEMA,
+    )
+
+
+T1 = [
+    ("a", "iri", "p", "x", "literal", None, "en"),
+    ("a", "iri", "p", "1", "literal",
+     "http://www.w3.org/2001/XMLSchema#integer", None),
+    ("b", "iri", "q", "c", "iri", None, None),
+]
+T2 = [
+    ("a", "iri", "p", "x", "literal", None, "en"),
+    ("d", "iri", "q", "c", "iri", None, None),
+]
+
+
+def test_algebra_set_ops(spark):
+    from tortank_spark.algebra import (
+        all_subjects,
+        pattern_filter,
+        tt_difference,
+        tt_intersection,
+        tt_union,
+    )
+
+    a, b = make_triples(spark, T1), make_triples(spark, T2)
+    assert tt_union(a, b).count() == 4
+    # null-safe: the lang/dt columns are null in rows that must match
+    diff = tt_difference(a, b)
+    assert {r["s"] for r in diff.collect()} == {"a", "b"}
+    assert diff.count() == 2
+    inter = tt_intersection(a, b)
+    assert inter.count() == 1 and inter.collect()[0]["o_lang"] == "en"
+    assert all_subjects(a).count() == 2
+    assert pattern_filter(a, s="a", p="p").count() == 2
+    assert pattern_filter(a, o="c").collect()[0]["s"] == "b"
+
+
+def test_connected_components_chain_and_star(spark):
+    from tortank_spark.canonicalize import connected_components
+
+    edges = spark.createDataFrame(
+        # chain a-b-c-d, star x-{y,z}, isolated pair m-n
+        [("b", "a"), ("b", "c"), ("c", "d"), ("x", "y"), ("x", "z"),
+         ("m", "n")],
+        "src string, dst string",
+    )
+    got = {
+        (r["iri"], r["canonical"])
+        for r in connected_components(edges).collect()
+    }
+    assert got == {
+        ("a", "a"), ("b", "a"), ("c", "a"), ("d", "a"),
+        ("x", "x"), ("y", "x"), ("z", "x"),
+        ("m", "m"), ("n", "m"),
+    }
+
+
+def test_connected_components_random_vs_union_find(spark):
+    """Property check: alternating star algorithm == union-find on a
+    seeded random graph (string-typed nodes, lexicographic min)."""
+    import random
+
+    from tortank_spark.canonicalize import connected_components
+
+    rng = random.Random(13)
+    edges = [
+        (f"n{rng.randint(0, 60):03d}", f"n{rng.randint(0, 60):03d}")
+        for _ in range(80)
+    ]
+    edges = [e for e in edges if e[0] != e[1]]
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+    got = {
+        r["iri"]: r["canonical"]
+        for r in connected_components(
+            spark.createDataFrame(edges, "src string, dst string")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_rewrite_canonical(spark):
+    from tortank_spark.canonicalize import rewrite_canonical
+
+    triples = make_triples(
+        spark,
+        [
+            ("B", "iri", "p", "A", "iri", None, None),
+            ("A", "iri", "p", "lit", "literal", None, None),
+        ],
+    )
+    cmap = spark.createDataFrame(
+        [("B", "A"), ("A", "A")], "iri string, canonical string"
+    )
+    out = rewrite_canonical(triples, cmap)
+    assert {(r["s"], r["o"]) for r in out.collect()} == {("A", "A"), ("A", "lit")}
+
+
+def test_minhash_near_dup_detects_similar_docs(spark):
+    from tortank_spark.dedup import minhash_dedup_pairs
+
+    base = "the quick brown fox jumps over the lazy dog " * 10
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base.replace("lazy", "sleepy", 1)),  # near-dup of 1
+            (3, "completely different text about spark dataframes and "
+                "shuffle partitions " * 10),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = minhash_dedup_pairs(docs, "doc_id", threshold=0.5).collect()
+    assert {(r["a"], r["b"]) for r in pairs} == {(1, 2)}
+    assert pairs[0]["jaccard_est"] > 0.5
+
+
+def test_simhash_hamming_close_for_near_dups(spark):
+    from tortank_spark.dedup import simhash_candidate_pairs, simhash_signatures
+
+    words = [f"word{i:03d}" for i in range(120)]
+    base = " ".join(words)
+    near = " ".join(words[:-1] + ["changed"])
+    far = " ".join(f"other{i:03d}" for i in range(120))
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, near), (4, far)],
+        "doc_id long, text string",
+    )
+    sigs = {r["doc_id"]: r["simhash"]
+            for r in simhash_signatures(docs, "doc_id").collect()}
+    ham = lambda a, b: bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1")
+    assert ham(1, 2) == 0                      # identical docs
+    assert ham(1, 3) < ham(1, 4)               # near-dup closer than far
+    # identical docs always share every chunk -> candidate pair
+    pairs = {(r["a"], r["b"]): r["hamming"]
+             for r in simhash_candidate_pairs(
+                 simhash_signatures(docs, "doc_id"), "doc_id").collect()}
+    assert pairs[(1, 2)] == 0
+
+
+def test_ngram_jaccard_verification(spark):
+    from tortank_spark.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f"), (3, "x y z w v u")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "a long, b long")
+    got = {(r["a"], r["b"]): r["jaccard"]
+           for r in ngram_jaccard_pairs(docs, pairs, "doc_id").collect()}
+    assert got[(1, 2)] == 1.0
+    assert got[(1, 3)] == 0.0
+
+
+def test_topk_cosine_exact(spark):
+    from tortank_spark.similarity import topk_cosine
+
+    vecs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.9, 0.1]),
+            (3, [0.0, 1.0]),
+            (4, [-1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    top = topk_cosine(vecs, "embedding", [1.0, 0.0], k=2).collect()
+    assert [r["vec_id"] for r in top] == [1, 2]
+    assert top[0]["cosine"] == 1.0
+
+
+def test_lsh_ann_finds_self_bucket(spark):
+    from tortank_spark.similarity import lsh_bucketed_topk
+
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(50)]
+    q = rows[7][1]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    top = lsh_bucketed_topk(vecs, "embedding", q, k=3, n_bits=4).collect()
+    assert top and top[0]["vec_id"] == 7 and top[0]["cosine"] == 1.0
+
+
+def test_textops_counts_and_quality(spark):
+    from tortank_spark.textops import (
+        detect_language,
+        doc_fingerprint,
+        quality_features,
+        token_count,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat is in the hat"),
+            (2, "le chat est dans le chapeau et il est content que"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    counts = {r["doc_id"]: r["n"] for r in docs.select(
+        "doc_id", token_count(F.col("text")).alias("n")).collect()}
+    assert counts == {1: 6, 2: 11, 3: 0}
+    q = quality_features(docs).filter(F.col("doc_id") == 1).collect()[0]
+    assert q["q_n_tokens"] == 6 and q["q_stopword_ratio"] > 0
+    langs = {r["doc_id"]: r["lang_pred"]
+             for r in detect_language(docs).collect()}
+    assert langs[1] == "en" and langs[2] == "fr"
+    fps = docs.select(doc_fingerprint(F.col("text")).alias("fp")).collect()
+    assert len({r["fp"] for r in fps}) == 3
+
+
+def test_multimodal_feature_plumbing(spark):
+    from tortank_spark.multimodal import extract_features, make_media_table
+
+    media = make_media_table(spark, n=9)
+    feats = extract_features(media).collect()
+    assert len(feats) == 9
+    assert all(r["decode_ok"] == "stubbed" for r in feats)
+    assert all(r["feature"] is not None and len(r["feature"]) == 16
+               for r in feats)
+    # deterministic across runs
+    feats2 = extract_features(media).collect()
+    assert {(r["content_sha256"], tuple(r["feature"])) for r in feats} == {
+        (r["content_sha256"], tuple(r["feature"])) for r in feats2
+    }
+
+
+def test_serializers_roundtrip(spark):
+    from tortank_spark.serialize import to_ntriples, to_rdf_json
+    from tortank_spark.grammar import parse_document
+
+    df = make_triples(spark, T1)
+    lines = [r["value"] for r in to_ntriples(df).collect()]
+    # every rendered line must re-parse to the same canonical triple
+    for line, want in zip(sorted(lines), sorted(
+        f"{s} {p} {o}" for (s, _, p, o, _, _, _) in [
+            ("<a>", None, "<p>", '"1"', None, None, None),
+        ]
+    )):
+        break  # structure checked below instead
+    joined = "\n".join(lines)
+    triples, err = parse_document(joined)
+    assert err is None
+    got = {(t[0], t[2], t[3], t[5], t[6]) for t in triples}
+    want = {(s, p, o, dt, lg) for (s, _, p, o, _, dt, lg) in T1}
+    # bare-string objects reparse with implicit xsd:string: T1 row 1 has
+    # lang so datatype stays None; integer row keeps its datatype
+    assert got == want
+    js = to_rdf_json(df).collect()
+    assert len(js) == 3 and all(r["value"].startswith("{") for r in js)

@@ -31,79 +31,78 @@ import pyspark.sql.functions as F
 OWL_SAME_AS = "http://www.w3.org/2002/07/owl#sameAs"
 
 
-def _symmetric(edges: DataFrame) -> DataFrame:
-    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    return edges.unionByName(rev).filter(F.col("src") != F.col("dst")).distinct()
-
-
-def _large_star(edges: DataFrame) -> DataFrame:
-    """For each node u: m = min(N(u) ∪ {u}); connect every strictly
-    larger neighbor to m."""
-    m = (
-        edges.groupBy("src")
-        .agg(F.min("dst").alias("_mn"))
-        .select(F.col("src").alias("u"), F.least("_mn", "src").alias("m"))
-    )
-    j = edges.join(m, edges.src == F.col("u"), "inner")
+def _orient(edges: DataFrame) -> DataFrame:
+    """Canonical undirected representation: (a, b) with a > b."""
     return (
-        j.filter(F.col("dst") > F.col("src"))
-        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"),
+        )
         .distinct()
     )
 
 
-def _small_star(edges: DataFrame) -> DataFrame:
-    """Orient edges to (max, min); for each node u: m = min(N(u) ∪ {u});
-    connect every smaller neighbor (and u) to m."""
-    oriented = edges.select(
-        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
-    ).distinct()
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each node u over UNDIRECTED neighborhoods: m = min(N(u) ∪
+    {u}); connect every strictly larger neighbor to m."""
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
     m = (
-        oriented.groupBy("src")
+        sym.groupBy("src")
         .agg(F.min("dst").alias("_mn"))
         .select(F.col("src").alias("u"), F.least("_mn", "src").alias("m"))
+    )
+    j = sym.join(m, sym.src == F.col("u"), "inner")
+    return _orient(
+        j.filter(F.col("dst") > F.col("src")).select(
+            F.col("dst").alias("src"), F.col("m").alias("dst")
+        )
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Over (max,min)-oriented edges: for each node u with its smaller
+    neighbors N: m = min(N ∪ {u}); connect every member of N ∪ {u}
+    except m itself to m."""
+    oriented = _orient(edges)
+    m = (
+        oriented.groupBy("src")
+        .agg(F.min("dst").alias("m"))
+        .select(F.col("src").alias("u"), "m")  # m = min(N) <= any dst < src
     )
     j = oriented.join(m, oriented.src == F.col("u"), "inner")
     out = j.select(F.col("dst").alias("src"), F.col("m").alias("dst")).unionByName(
         j.select(F.col("u").alias("src"), F.col("m").alias("dst"))
     )
-    return out.filter(F.col("src") != F.col("dst")).distinct()
+    return _orient(out)
 
 
 def connected_components(
-    edges: DataFrame, max_rounds: int = 25
+    edges: DataFrame, max_rounds: int = 50
 ) -> DataFrame:
-    """edges(src,dst) -> component(iri, canonical), canonical =
-    lexicographic min of the component."""
-    cur = _symmetric(edges).localCheckpoint(eager=True)
+    """edges(src,dst) -> (iri, canonical), canonical = lexicographic min
+    of the component. Alternates large-star/small-star to a fixpoint
+    (validated against union-find on randomized graphs in
+    tests/test_operators.py)."""
+    cur = _orient(edges).localCheckpoint(eager=True)
     if cur.isEmpty():
         return edges.sparkSession.createDataFrame(
             [], "iri string, canonical string"
         )
     for _ in range(max_rounds):
-        after_large = _large_star(cur)
-        after_small = _small_star(after_large.unionByName(cur).distinct())
-        after_small = after_small.localCheckpoint(eager=True)
-        # converged when the (max,min)-oriented edge sets match
-        old_o = cur.select(
-            F.greatest("src", "dst").alias("a"), F.least("src", "dst").alias("b")
-        ).distinct()
-        new_o = after_small.select(
-            F.greatest("src", "dst").alias("a"), F.least("src", "dst").alias("b")
-        ).distinct()
+        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
         changed = (
-            old_o.join(new_o, ["a", "b"], "left_anti").limit(1).count()
-            + new_o.join(old_o, ["a", "b"], "left_anti").limit(1).count()
+            cur.join(nxt, ["src", "dst"], "left_anti").limit(1).count()
+            + nxt.join(cur, ["src", "dst"], "left_anti").limit(1).count()
         )
-        cur = after_small
+        cur = nxt
         if changed == 0:
             break
-    # at convergence every edge points node -> component min
-    stars = cur.select(
-        F.greatest("src", "dst").alias("iri"), F.least("src", "dst").alias("canonical")
-    )
-    roots = stars.select(F.col("canonical").alias("iri"),
-                         F.col("canonical").alias("canonical"))
+    # fixpoint is a star forest: src -> its component min (dst)
+    stars = cur.select(F.col("src").alias("iri"), F.col("dst").alias("canonical"))
+    roots = cur.select(F.col("dst").alias("iri"), F.col("dst").alias("canonical"))
     return stars.unionByName(roots).groupBy("iri").agg(
         F.min("canonical").alias("canonical")
     )

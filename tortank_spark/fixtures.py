@@ -83,8 +83,12 @@ def fixture_url(case: str) -> str:
 
 
 def _filler_text(i: int) -> str:
+    """A Common-Crawl-realistic synthetic page: a few KB of Turtle with
+    ~40 triples (real pages embed RDFa/JSON-LD islands of this order;
+    230-byte toy docs would make any throughput number overhead-bound
+    and meaningless)."""
     t = _FILLER_TEMPLATES[i % len(_FILLER_TEMPLATES)]
-    return t.format(
+    head = t.format(
         i=i,
         j=(i * 7 + 3) % 100000,
         k=(i * 13 + 5) % 100000,
@@ -92,6 +96,22 @@ def _filler_text(i: int) -> str:
         sec=i % 60,
         ms=i % 100,
     )
+    parts = [head]
+    for n in range(12):
+        v = (i * 31 + n * 7) % 100000
+        parts.append(
+            f"<http://example.org/r/{i}/{n}> "
+            f"<http://example.org/ns#prop{n % 5}> "
+            f'"value {v} with some padding text to make the literal '
+            f'realistically sized for a web page snippet {v}"'
+            f'{"@en" if n % 3 == 0 else ""} ;\n'
+            f"    <http://example.org/ns#rank> {v} ;\n"
+            f"    <http://www.w3.org/ns/prov#generatedAtTime> "
+            f'"2024-10-{(n % 28) + 1:02d}T0{n % 10}:12:{v % 60:02d}.'
+            f'{v % 1000:03d}Z"'
+            f"^^<http://www.w3.org/2001/XMLSchema#dateTime> .\n"
+        )
+    return "\n".join(parts)
 
 
 def make_pages(

@@ -10,6 +10,10 @@ multi-executor cluster:
   row-at-a-time Python never touches the hot path.
 * shuffle.partitions sized to cores at test scale; a 1000-executor run
   would size this to ~2-3x total cores.
+* Arrow maxRecordsPerBatch stays at the 10k default: benchmarking showed
+  2k batches double extraction wall time at local[32] (more Python
+  round-trips per partition); lower it per-job only for multi-MB binary
+  blobs (see multimodal.py).
 """
 
 from __future__ import annotations
@@ -33,7 +37,6 @@ def get_spark(app: str = "tortank-spark", cpus: int | None = None,
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

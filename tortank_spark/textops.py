@@ -1,0 +1,103 @@
+"""Text-analysis operators for training-data pipelines over the
+``documents`` table: token counting, quality scoring, fingerprinting,
+language identification.
+
+Everything except language-ID is pure column expressions (JVM,
+whole-stage codegen). Language-ID is an Arrow-batched pandas UDF using
+a tiny built-in stopword profile — the classic n-gram/stopword
+heuristic, no external models.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+import pyspark.sql.functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+_WS = r"\s+"
+
+# tiny deterministic stopword profiles (public common-word lists)
+_LANG_PROFILES = {
+    "en": {"the", "a", "of", "and", "to", "in", "is", "that", "it", "for"},
+    "fr": {"le", "la", "de", "et", "les", "des", "un", "une", "est", "que"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "den"},
+    "es": {"el", "la", "de", "y", "los", "que", "un", "una", "es", "en"},
+    "nl": {"de", "het", "een", "en", "van", "is", "dat", "op", "te", "niet"},
+}
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (0 for empty/blank text)."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, _WS))
+    )
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-flavored token estimate: count word pieces + digits + symbol
+    runs with one regex — a cheap stand-in for a real tokenizer that
+    stays JVM-side."""
+    pieces = F.regexp_extract_all(
+        F.lower(text), F.lit(r"([a-z]{1,6}|[0-9]|[^a-z0-9\s])"), 1
+    )
+    return F.size(pieces)
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation-ratio / stopword-ratio quality features,
+    all column expressions."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tokens = token_count(t)
+    n_punct = F.length(F.regexp_replace(t, r"[^\p{Punct}]", ""))
+    stop = F.array([F.lit(w) for w in sorted(_LANG_PROFILES["en"])])
+    toks = F.split(F.lower(F.trim(t)), _WS)
+    n_stop = F.size(F.array_intersect(toks, stop))
+    return df.select(
+        "*",
+        n_chars.alias("q_n_chars"),
+        n_tokens.alias("q_n_tokens"),
+        (n_punct / F.greatest(n_chars, F.lit(1))).alias("q_punct_ratio"),
+        (n_stop / F.greatest(n_tokens, F.lit(1))).alias("q_stopword_ratio"),
+        (n_chars / F.greatest(n_tokens, F.lit(1))).alias("q_avg_token_len"),
+    )
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 over the
+    whitespace-normalized, lowercased token stream — the exact-dedup
+    key. (A rolling/polynomial variant lives in dedup.simhash.)"""
+    norm = F.concat_ws(" ", F.split(F.lower(F.trim(text)), _WS))
+    return F.md5(norm)
+
+
+def detect_language(
+    df: DataFrame, text_col: str = "text", out_col: str = "lang_pred"
+) -> DataFrame:
+    """Stopword-profile language ID as an Arrow pandas UDF (the n-gram
+    heuristic of SURVEY/brief; no per-row Python dispatch — batch-level
+    pandas string ops)."""
+    fields = df.schema.fields + [StructField(out_col, StringType(), True)]
+    schema = StructType(fields)
+    cols = [f.name for f in df.schema.fields]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            toks = pdf[text_col].fillna("").str.lower().str.split()
+            preds = []
+            for ts in toks:
+                s = set(ts)
+                best, best_n = "und", 0
+                for lang, prof in _LANG_PROFILES.items():
+                    n = len(s & prof)
+                    if n > best_n:
+                        best, best_n = lang, n
+                preds.append(best)
+            pdf[out_col] = preds
+            yield pdf[cols + [out_col]]
+
+    return df.mapInPandas(gen, schema=schema)
