@@ -48,12 +48,12 @@ def _sf_of(path: str) -> float:
 
 
 SF = _sf_of(SF_DIR)
-# ~100k pages per sf-unit: each extraction pass is ~30 CPU-seconds of
+# ~360k pages per sf-unit: each extraction pass is ~50 CPU-seconds of
 # parse work — heavy enough to be parse-bound, small enough to fit the
 # sandbox host's CPU burst budget (this host is burst-throttled: ~10s of
 # full 32-core speed, then ~6 sustained cores; measured in
 # BASELINE.md §measured). Legs sleep beforehand to refill the budget.
-N_PAGES = max(1024, int(SF * 60_000))
+N_PAGES = max(1024, int(SF * 360_000))
 COOLDOWN_S = int(os.environ.get("SPARK_GRAFT_BENCH_COOLDOWN", "30"))
 
 

@@ -273,3 +273,48 @@ def test_serializers_roundtrip(spark):
     assert got == want
     js = to_rdf_json(df).collect()
     assert len(js) == 3 and all(r["value"].startswith("{") for r in js)
+
+
+def test_parse_pattern_filter(spark):
+    """R2: Turtle-syntax bindings parsed with the doc grammar
+    (reference tests/query.rs:6-35 semantics)."""
+    from tortank_spark.algebra import parse_pattern_filter
+
+    rows = [
+        ("http://e/alice", "iri", "http://e/age", "42", "literal",
+         "http://www.w3.org/2001/XMLSchema#integer", None),
+        ("http://e/alice", "iri", "http://e/name", "alice", "literal",
+         None, "en"),
+        ("_:b1", "bnode", "http://e/age", "7", "literal",
+         "http://www.w3.org/2001/XMLSchema#integer", None),
+    ]
+    df = make_triples(spark, rows)
+    prefixes = {"e": "http://e/", "xsd": "http://www.w3.org/2001/XMLSchema#"}
+    got = parse_pattern_filter(df, s="e:alice", o='"42"^^xsd:integer',
+                               prefixes=prefixes)
+    assert got.count() == 1 and got.collect()[0]["p"] == "http://e/age"
+    # bare numeric binding coerces like the grammar (42 == "42"^^integer)
+    got2 = parse_pattern_filter(df, o="42", prefixes=prefixes)
+    assert got2.count() == 1 and got2.collect()[0]["s"] == "http://e/alice"
+    got3 = parse_pattern_filter(df, s="_:b1", prefixes=prefixes)
+    assert got3.count() == 1
+    got4 = parse_pattern_filter(df, o='"alice"@en', prefixes=prefixes)
+    assert got4.count() == 1
+    import pytest as _pt
+    from tortank_spark.grammar import DocError
+    with _pt.raises(DocError):
+        parse_pattern_filter(df, s="unknownprefix:x")
+
+
+def test_add_statement(spark):
+    from tortank_spark.algebra import add_statement
+
+    df = make_triples(spark, T1).select(
+        "s", "s_kind", "p", "o", "o_kind", "o_datatype", "o_lang"
+    )
+    row = ("z", "iri", "p", "new", "literal", None, None)
+    out = add_statement(df, row)
+    assert out.count() == 4
+    # inserting a duplicate is a no-op (turtle_doc.rs:284-293)
+    dup = ("b", "iri", "q", "c", "iri", None, None)
+    assert add_statement(df, dup).count() == 3

@@ -103,3 +103,40 @@ def spo_objects_for(df: DataFrame, p: str) -> DataFrame:
     """Convenience: project objects of one predicate — the query-path
     demo (reference tests/query.rs:6-35)."""
     return pattern_filter(df, p=p).select("s", "o", "o_kind")
+
+
+def parse_pattern_filter(
+    df: DataFrame,
+    s: Optional[str] = None,
+    p: Optional[str] = None,
+    o: Optional[str] = None,
+    prefixes: Optional[dict] = None,
+    base: Optional[str] = None,
+) -> DataFrame:
+    """R2 parse_and_list_statements (turtle_doc.rs:363-401): bound terms
+    are given in Turtle syntax ('ex:Alice', '"42"^^xsd:integer',
+    '<http://...>', '_:b1') and parsed with the same grammar before
+    becoming equality predicates. Literal bindings match on
+    (o, o_datatype, o_lang) with null-safe comparison."""
+    from .grammar.turtle import BNODE_K, LIT_K, parse_term
+
+    out = df
+    if s is not None:
+        node = parse_term(s, prefixes, base, "subject")
+        val = ("_:" + node.value) if node.kind == BNODE_K else node.value
+        out = out.filter(F.col("s") == val)
+    if p is not None:
+        node = parse_term(p, prefixes, base, "predicate")
+        out = out.filter(F.col("p") == node.value)
+    if o is not None:
+        node = parse_term(o, prefixes, base, "object")
+        if node.kind == LIT_K:
+            out = out.filter(
+                (F.col("o") == node.value)
+                & F.col("o_datatype").eqNullSafe(F.lit(node.datatype))
+                & F.col("o_lang").eqNullSafe(F.lit(node.lang))
+            )
+        else:
+            val = ("_:" + node.value) if node.kind == BNODE_K else node.value
+            out = out.filter((F.col("o") == val) & (F.col("o_kind") != "literal"))
+    return out

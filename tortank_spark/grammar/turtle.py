@@ -82,6 +82,12 @@ _WS1_RE = re.compile(r"[ \t\r\n]+")
 # local names (the escaped() branch in triple_common_parser.rs:53 is
 # shadowed by the take_while branch).
 _PN_LOCAL_EXTRA = set("_~-!$&\\:()*+=/?#%")
+# prefix = unicode alphanumerics (Rust char::is_alphanumeric excludes
+# '_'); local name = alphanumerics + PN_LOCAL_ESC ('\w' covers '_',
+# which is in the escape set anyway)
+_PFX_RE = re.compile(r"[^\W_]*", re.UNICODE)
+_BNODE_LABEL_RE = re.compile(r"[\w.\-\u00b7\u0300-\u036f\u203f-\u2040]*", re.UNICODE)
+_LOCAL_RE = re.compile(r"[\w~\-!$&\\:()*+=/?#%]*", re.UNICODE)
 _NUM_RE = re.compile(r"[+-]?(?:\d+(?:\.\d*)?|\.\d+)(?:[eE][+-]?\d+)?")
 _INT_TOKEN_RE = re.compile(r"[+-]?\d+\Z")
 _LANG_RE = re.compile(r"[A-Za-z-]+")
@@ -101,6 +107,20 @@ _ESCAPE_MAP = {
 IRI_K = "iri"
 BNODE_K = "bnode"
 LIT_K = "literal"
+
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=65536)
+def _numeric_node(tok: str):
+    """Bare numeric token -> canonical literal Node, cached: the f32
+    shortest-repr (numpy Dragon4) costs ~20us and numeric lexicals
+    repeat heavily in real corpora. i64 -> f32 ladder per
+    triple_common_parser.rs:154-164."""
+    if _INT_TOKEN_RE.match(tok) and I64_MIN <= int(tok) <= I64_MAX:
+        return Node(LIT_K, str(int(tok)), XSD_INTEGER)
+    return Node(LIT_K, rust_f32_str(float(tok)), XSD_DECIMAL)
 
 
 def _is_bnode_extra(c: str) -> bool:
@@ -171,7 +191,13 @@ class TurtleParser:
     # ---------- low-level scanning ----------
 
     def _ws(self):
-        self.i = _WS_RE.match(self.s, self.i).end()
+        # hand-rolled scan: ws runs are 0-2 chars in practice, where a
+        # char-class loop beats re.match by ~3x (hottest function in the
+        # profile)
+        s, i, n = self.s, self.i, self.n
+        while i < n and s[i] in " \t\r\n":
+            i += 1
+        self.i = i
 
     def _ws1(self):
         m = _WS1_RE.match(self.s, self.i)
@@ -232,17 +258,12 @@ class TurtleParser:
         (triple_common_parser.rs:46-59)."""
         self._ws()
         s = self.s
-        j = self.i
-        while j < self.n and s[j].isalnum():
-            j += 1
+        j = min(_PFX_RE.match(s, self.i).end(), self.n)
         if j >= self.n or s[j] != ":":
             raise _BT
         prefix = s[self.i : j]
-        j += 1
-        k = j
-        while k < self.n and (s[k].isalnum() or s[k] in _PN_LOCAL_EXTRA):
-            k += 1
-        local = s[j:k]
+        k = min(_LOCAL_RE.match(s, j + 1).end(), self.n)
+        local = s[j + 1 : k]
         self.i = k
         return prefix, local
 
@@ -275,9 +296,7 @@ class TurtleParser:
             raise _BT
         self.i += 2
         s = self.s
-        j = self.i
-        while j < self.n and (s[j].isalnum() or s[j] == "_" or _is_bnode_extra(s[j])):
-            j += 1
+        j = min(_BNODE_LABEL_RE.match(s, self.i).end(), self.n)
         label = s[self.i : j]
         if label.endswith("."):
             j -= 1
@@ -441,10 +460,7 @@ class TurtleParser:
             raise _BT
         tok = m.group(0)
         self.i = m.end()
-        # i64 -> f32 -> f64 ladder (triple_common_parser.rs:154-164)
-        if _INT_TOKEN_RE.match(tok) and I64_MIN <= int(tok) <= I64_MAX:
-            return Node(LIT_K, str(int(tok)), XSD_INTEGER)
-        return Node(LIT_K, rust_f32_str(float(tok)), XSD_DECIMAL)
+        return _numeric_node(tok)
 
     # ---------- blank nodes / collections ----------
 
@@ -526,9 +542,9 @@ class TurtleParser:
         if not thunks:
             return Node(IRI_K, RDF_NIL)
         cells = []
-        for thunk in thunks:
+        for d in thunks:
             cell = self._new_bnode()
-            item = thunk()
+            item = self._materialize(d)
             self._emit(cell, Node(IRI_K, RDF_FIRST), item)
             cells.append(cell)
         for idx in range(len(cells) - 1, -1, -1):
@@ -549,35 +565,60 @@ class TurtleParser:
     # statement, so replay is faithful).
 
     def _object_deferred(self):
+        """Parse one object; defer side-effecting materialization.
+
+        Semantics = the reference alternation iri | blank node |
+        collection | literal (turtle_parser.rs:98-104), implemented as
+        a first-character dispatch: the alternative classes are
+        disjoint on their first character except for alphanumerics
+        (prefixed name vs boolean/number), where the reference's
+        iri-first order is preserved. Returns a deferred marker tuple
+        consumed by _emit_statement/_collection."""
         self._ws()
-        save = self.i
-        # order: iri, blank node, collection, literal
-        # (turtle_parser.rs:98-104)
-        try:
-            n = self._iri_resolved()
-            return lambda n=n: n
-        except _Backtrack:
-            self.i = save
-        try:
-            label = self._labeled_bnode()
-            return lambda self=self, label=label: self._labeled_node(label)
-        except _Backtrack:
-            self.i = save
-        self._ws()
-        if self.i < self.n and self.s[self.i] == "[":
+        s, i, n = self.s, self.i, self.n
+        if i >= n:
+            raise _BT
+        c = s[i]
+        if c == "<":
+            return ("n", self._resolve_enclosed(self._enclosed_iri()))
+        if c == '"' or c == "'":
+            return ("n", self._string_literal())
+        if c == "[":
             start, end = self._scan_bracket_span("[", "]")
-            return lambda self=self, a=start, b=end: _replay(self, a, b, "anon")
-        if self.i < self.n and self.s[self.i] == "(":
+            return ("a", start, end)
+        if c == "(":
             start, end = self._scan_bracket_span("(", ")")
-            return lambda self=self, a=start, b=end: _replay(self, a, b, "coll")
-        self.i = save
+            return ("c", start, end)
+        if c == "_":
+            save = self.i
+            try:
+                return ("b", self._labeled_bnode())
+            except _Backtrack:
+                self.i = save
+                raise
+        # alphanumeric (or +/-/. numeric): reference order — prefixed
+        # name first, then literal
+        save = self.i
         try:
-            lit = self._string_literal()
-            return lambda lit=lit: lit
+            return ("n", self._iri_resolved_prefixed_only())
         except _Backtrack:
             self.i = save
-        lit = self._primitive_literal()
-        return lambda lit=lit: lit
+        return ("n", self._primitive_literal())
+
+    def _iri_resolved_prefixed_only(self):
+        prefix, local = self._prefixed_parts()
+        ns = self.prefixes.get(prefix)
+        if ns is None:
+            raise DocError(f"prefix {prefix} unknown")
+        return Node(IRI_K, ns + local)
+
+    def _iri_resolved_prefixed_only_bt(self):
+        save = self.i
+        try:
+            return self._iri_resolved_prefixed_only()
+        except _Backtrack:
+            self.i = save
+            raise
 
     def _scan_bracket_span(self, open_c: str, close_c: str):
         """Find the matching close bracket, skipping strings, enclosed
@@ -701,10 +742,22 @@ class TurtleParser:
             self._seen.add(row)
             self.triples.append(row)
 
+    def _materialize(self, d) -> Node:
+        tag = d[0]
+        if tag == "n":
+            return d[1]
+        if tag == "b":
+            return self._labeled_node(d[1])
+        if tag == "a":
+            return _replay(self, d[1], d[2], "anon")
+        return _replay(self, d[1], d[2], "coll")
+
     def _emit_statement(self, subj: Node, povs) -> Node:
-        for pred, obj_thunks in povs:
-            for thunk in obj_thunks:
-                self._emit(subj, pred, thunk())
+        emit = self._emit
+        mat = self._materialize
+        for pred, deferred in povs:
+            for d in deferred:
+                emit(subj, pred, mat(d))
         return subj
 
     # ---------- statements ----------
@@ -713,23 +766,20 @@ class TurtleParser:
         """blank node | iri | collection (turtle_parser.rs:91-93). Anon
         blank-node subjects materialize immediately (id allocated before
         the outer objects — turtle_doc.rs:752-759)."""
-        save = self.i
-        try:
+        self._ws()
+        if self.i >= self.n:
+            raise _BT
+        c = self.s[self.i]
+        if c == "_":
             return self._labeled_node(self._labeled_bnode())
-        except _Backtrack:
-            self.i = save
-        self._ws()
-        if self.i < self.n and self.s[self.i] == "[":
+        if c == "[":
             return self._anon_bnode()
-        self.i = save
-        try:
-            return self._iri_resolved()
-        except _Backtrack:
-            self.i = save
-        self._ws()
-        if self.i < self.n and self.s[self.i] == "(":
+        if c == "<":
+            return self._resolve_enclosed(self._enclosed_iri())
+        if c == "(":
             return self._collection()
-        raise _BT
+        # alphanumeric: prefixed name (subjects cannot be literals)
+        return self._iri_resolved_prefixed_only_bt()
 
     def _directive(self) -> bool:
         """@base/BASE/@prefix/PREFIX, case-insensitive tags; turtle forms
@@ -827,9 +877,13 @@ class TurtleParser:
         the whole doc (turtle_doc.rs:888-905)."""
         while True:
             self._comments()
+            self._ws()
             if self.i >= self.n:
                 break
-            if self._directive():
+            # directives start with @/B/b/P/p only — skip the four
+            # case-insensitive tag probes for every other statement
+            c = self.s[self.i]
+            if c in "@BbPp" and self._directive():
                 continue
             save = self.i
             mark = len(self.triples)
@@ -942,3 +996,28 @@ def _object_ntriples(self):
 TurtleParser._subject_ntriples = _subject_ntriples
 TurtleParser._object_ntriples = _object_ntriples
 del _subject_ntriples, _object_ntriples
+
+
+def parse_term(term: str, prefixes=None, base=None, position: str = "object"):
+    """Parse ONE Turtle-syntax term against a prefix map / base — the
+    reference's parse_and_list_statements binding path
+    (turtle_doc.rs:363-401 calling parse_sub/parse_pred/parse_obj,
+    turtle_parser.rs:91-104). Returns a resolved Node; literals are only
+    allowed in object position (turtle_doc.rs:379,388,396).
+    Raises DocError on unparseable terms or unknown prefixes."""
+    p = TurtleParser(term)
+    if prefixes:
+        p.prefixes.update(prefixes)
+    p.base = base
+    try:
+        if position == "predicate":
+            return p._predicate()
+        if position == "subject":
+            node = p._subject()
+            if node.kind == LIT_K:
+                raise DocError("subject cannot be a literal")
+            return node
+        d = p._object_deferred()
+        return p._materialize(d)
+    except _Backtrack:
+        raise DocError(f"could not parse term: {term!r}") from None
