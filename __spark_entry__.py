@@ -369,6 +369,22 @@ def _q_lsh_ann(spark, sf_dir):
     )
 
 
+def _q_events_windowed(spark, sf_dir):
+    """Event-time tumbling-window aggregation (the batch shape of the
+    Structured-Streaming windowed pipeline; F.window is identical in
+    readStream mode with a watermark)."""
+    ev = _t(spark, sf_dir, "events")
+    w = F.window(F.col("ts"), "1 hour")
+    return (
+        ev.groupBy(w.start.alias("win_start"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select("win_start", "event_type", "n_events", "sum_value")
+    )
+
+
 def _q_multimodal_features(spark, sf_dir):
     from tortank_spark.multimodal import extract_features, make_media_table
 
@@ -401,6 +417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_quality,
         "text_lang_id": _q_lang_id,
         "sim_topk_cosine": _q_topk_cosine,
+        "events_windowed_agg": _q_events_windowed,
         "sim_lsh_ann": _q_lsh_ann,
         "mm_features": _q_multimodal_features,
     }
@@ -510,6 +527,13 @@ def oracle_sql() -> dict[str, str]:
         # text_quality / text_lang_id / dedup_minhash_lsh / dedup_simhash /
         # sim_lsh_ann / mm_features: no faithful ANSI-SQL twin (approximate
         # or UDF-defined semantics) -> rows-only driver check.
+        "events_windowed_agg": """
+            SELECT date_trunc('hour', ts) AS win_start,
+                   event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
         "sim_topk_cosine": """
             SELECT e.vec_id,
                    round(list_cosine_similarity(

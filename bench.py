@@ -53,7 +53,7 @@ SF = _sf_of(SF_DIR)
 # sandbox host's CPU burst budget (this host is burst-throttled: ~10s of
 # full 32-core speed, then ~6 sustained cores; measured in
 # BASELINE.md §measured). Legs sleep beforehand to refill the budget.
-N_PAGES = max(1024, int(SF * 360_000))
+N_PAGES = max(1024, int(SF * 120_000))
 COOLDOWN_S = int(os.environ.get("SPARK_GRAFT_BENCH_COOLDOWN", "30"))
 
 

@@ -318,3 +318,22 @@ def test_add_statement(spark):
     # inserting a duplicate is a no-op (turtle_doc.rs:284-293)
     dup = ("b", "iri", "q", "c", "iri", None, None)
     assert add_statement(df, dup).count() == 3
+
+
+def test_connected_components_skewed_hub(spark):
+    """FIXTURES.md §5: one hub entity with ~n/10 of all edges (the
+    skew case the north rule calls out). Star contraction keeps rounds
+    bounded; AQE skew-join splits the hot key at runtime. Also mixes in
+    a long chain so both pathologies coexist."""
+    from tortank_spark.canonicalize import connected_components
+
+    hub_edges = [(f"n{i:05d}", "hub") for i in range(1, 1500)]
+    chain_edges = [(f"c{i:05d}", f"c{i+1:05d}") for i in range(200)]
+    edges = spark.createDataFrame(hub_edges + chain_edges,
+                                  "src string, dst string")
+    got = connected_components(edges).collect()
+    comp = {r["iri"]: r["canonical"] for r in got}
+    # hub component: min is "hub" (lexicographically < n00001)
+    assert comp["hub"] == "hub"
+    assert all(comp[f"n{i:05d}"] == "hub" for i in range(1, 1500))
+    assert all(comp[f"c{i:05d}"] == "c00000" for i in range(201))

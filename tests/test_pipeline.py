@@ -1,0 +1,44 @@
+"""End-to-end pipeline: checkpointed buckets, resume semantics, lineage,
+canonicalization wiring."""
+
+import json
+
+import pyspark.sql.functions as F
+
+from tortank_spark import fixtures
+from tortank_spark.pipeline import run_pipeline
+
+
+def test_pipeline_end_to_end_and_resume(spark, tmp_path):
+    out = str(tmp_path / "kg")
+    pages = fixtures.make_pages(spark, n_pages=48, n_partitions=4,
+                                include_broken=True)
+    alias = fixtures.make_alias_dict(spark)
+    stats = run_pipeline(spark, pages, out, n_buckets=2, alias_dict=alias)
+    assert stats["buckets_ran"] == [0, 1]
+    assert stats["n_canonical_triples"] > 0
+
+    # full resume: nothing re-runs, same output count
+    stats2 = run_pipeline(spark, pages, out, n_buckets=2, alias_dict=alias)
+    assert stats2["buckets_ran"] == []
+    assert stats2["buckets_skipped"] == [0, 1]
+    assert stats2["n_canonical_triples"] == stats["n_canonical_triples"]
+
+    # partial resume: drop one manifest -> only that bucket re-runs
+    (tmp_path / "kg" / "bucket=1" / "_MANIFEST.json").unlink()
+    stats3 = run_pipeline(spark, pages, out, n_buckets=2, alias_dict=alias)
+    assert stats3["buckets_ran"] == [1]
+    assert stats3["n_canonical_triples"] == stats["n_canonical_triples"]
+
+    # lineage: the broken page is quarantined with an error message
+    lineage = spark.read.parquet(out + "/bucket=*/lineage")
+    bad = lineage.filter(~F.col("parse_ok")).collect()
+    assert len(bad) == 1 and bad[0]["error"]
+
+    # canonicalization: fixture 0001/0013 sameAs collapsed
+    canon = spark.read.parquet(out + "/triples_canonical")
+    assert canon.filter(F.col("s").contains("ns#ComplexResource")).count() == 0
+
+    # manifest carries per-bucket metrics
+    m = json.loads((tmp_path / "kg" / "bucket=0" / "_MANIFEST.json").read_text())
+    assert {"docs", "triples", "parse_failures"} <= set(m)

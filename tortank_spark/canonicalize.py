@@ -10,9 +10,15 @@ long chains.
 
 Scale design:
 * each round is two groupBy-min + one join — all shuffle-partitioned on
-  the node id; AQE skew-join splits hot keys (mega-components around
-  popular entities) at runtime, and `spark.sql.adaptive.enabled` is on
-  in session.py.
+  the node id. Skew (a hub entity holding a large fraction of all
+  sameAs edges) is handled in two layers with no hand-rolled salting:
+  (1) the groupBy-min aggregations are associative, so Spark's map-side
+  partial aggregation reduces a hot key to one row per input partition
+  before the shuffle — the classic concat(key, '#', hash%S) salt would
+  reimplement exactly this; (2) the edges-x-min join on the hot key is
+  split at runtime by AQE skew-join (enabled in session.py).
+  tests/test_operators.py::test_connected_components_skewed_hub pins a
+  1500-edge hub + 200-node chain through the full algorithm.
 * `localCheckpoint()` every round truncates the logical plan — without
   it the iterative lineage grows exponentially and the driver dies on
   plan analysis long before data size matters.
