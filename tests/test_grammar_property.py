@@ -1,0 +1,132 @@
+"""Property-based grammar tests (hypothesis).
+
+1. Round-trip: random triples -> canonical N-Triples rendering (the
+   same rendering serialize.ntriples_line implements in Spark, done
+   here in pure python) -> parse_document -> identical triple set.
+2. Fuzz: arbitrary text never crashes the parser — it either parses or
+   returns a quarantine error.
+"""
+
+import string
+
+from hypothesis import given, settings, strategies as st
+
+from tortank_spark.grammar import parse_document
+from tortank_spark.grammar.lexical import XSD_STRING
+
+# IRI charset: anything but '>' per the reference's enclosed-iri rule
+# (triple_common_parser.rs:63-70); keep to printable non-space for
+# unambiguous round-tripping
+_iri = st.text(
+    alphabet=string.ascii_letters + string.digits + ":/#._-~%",
+    min_size=1,
+    max_size=40,
+).map(lambda s: "http://x.example/" + s)
+
+# literal values that the reference's own Display can round-trip: the
+# short-double-quote renderer escapes nothing (Display writes the raw
+# value), so exclude '"' and backslash, and newlines are fine
+# exclude "'''" too: the reference's Display escapes it, but its
+# long-quote parser is raw (take_until terminator), so values holding
+# "'''" don't round-trip in the reference either
+# (turtle_doc.rs:1198-1205 vs triple_common_parser.rs:175-184)
+_value = st.text(
+    alphabet=st.characters(
+        blacklist_categories=("Cs",), blacklist_characters='"\\\r'
+    ),
+    max_size=60,
+).filter(lambda s: "'''" not in s)
+
+_lang = st.one_of(
+    st.none(),
+    st.text(alphabet=string.ascii_lowercase + "-", min_size=2, max_size=8)
+    .filter(lambda s: s.strip("-") == s and s),
+)
+
+
+@st.composite
+def _triple(draw):
+    s = draw(_iri)
+    p = draw(_iri)
+    kind = draw(st.sampled_from(["iri", "plain", "lang", "typed"]))
+    if kind == "iri":
+        return (s, "iri", p, draw(_iri), "iri", None, None)
+    v = draw(_value)
+    if kind == "plain":
+        return (s, "iri", p, v, "literal", XSD_STRING, None)
+    if kind == "lang":
+        lang = draw(_lang)
+        if lang is None:
+            return (s, "iri", p, v, "literal", XSD_STRING, None)
+        return (s, "iri", p, v, "literal", None, lang)
+    dt = draw(_iri)
+    return (s, "iri", p, v, "literal", dt, None)
+
+
+def _render(t):
+    s, _, p, o, ok, dt, lang = t
+    if ok == "iri":
+        obj = f"<{o}>"
+    else:
+        # reference Display quote selection (turtle_doc.rs:1193-1211)
+        body = o.replace("'''", "\\'''")
+        if o.endswith('"') or '"""' in o:
+            obj = f"'''{body}'''"
+        else:
+            obj = f'"{o}"'
+        if dt is not None:
+            obj += f"^^<{dt}>"
+        elif lang is not None:
+            obj += f"@{lang}"
+    return f"<{s}> <{p}> {obj}."
+
+
+def _norm(t):
+    # re-parse canonicalizes typed literals: xsd:integer/decimal/etc
+    # re-render; restrict comparison to the structural fields we
+    # generated (generator avoids coercible datatypes by using full
+    # random IRIs, which never equal the xsd ones except vanishingly)
+    return t
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(_triple(), min_size=1, max_size=8))
+def test_round_trip_ntriples(triples):
+    doc = "\n".join(_render(t) for t in triples)
+    parsed, err = parse_document(doc)
+    assert err is None, (err, doc)
+    want = set()
+    for t in triples:
+        s, sk, p, o, ok, dt, lang = t
+        if ok == "literal":
+            # long-quoted rendering is RAW; short-quoted decodes
+            # escapes — our generator excludes backslashes so values
+            # survive either path verbatim
+            from tortank_spark.grammar.lexical import (
+                XSD_BOOLEAN, XSD_DATE, XSD_DATE_TIME, XSD_DECIMAL,
+                XSD_DOUBLE, XSD_INTEGER,
+            )
+            if dt in (XSD_BOOLEAN, XSD_INTEGER, XSD_DECIMAL, XSD_DOUBLE,
+                      XSD_DATE, XSD_DATE_TIME):
+                continue  # typed coercion cases covered by unit tests
+        want.add(t)
+    got = set(parsed)
+    # every generated triple must be present (parser may dedup)
+    missing = {t for t in want if t not in got}
+    assert not missing, (missing, doc)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(max_size=300))
+def test_fuzz_never_crashes(text):
+    triples, err = parse_document(text)
+    assert isinstance(triples, list)
+    assert err is None or isinstance(err, str)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=200))
+def test_fuzz_bytes_decoded_never_crashes(data):
+    text = data.decode("utf-8", "replace")
+    triples, err = parse_document(text)
+    assert isinstance(triples, list)

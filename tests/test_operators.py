@@ -337,3 +337,29 @@ def test_connected_components_skewed_hub(spark):
     assert comp["hub"] == "hub"
     assert all(comp[f"n{i:05d}"] == "hub" for i in range(1, 1500))
     assert all(comp[f"c{i:05d}"] == "c00000" for i in range(201))
+
+
+def test_turtle_pretty_output(spark):
+    """S8 as_turtle core behaviors: prefix compaction (longest match),
+    rdf:type -> 'a', bare integers, xsd:string datatype dropped
+    (turtle_doc.rs:1278-1381)."""
+    from tortank_spark.serialize import to_turtle_pretty
+
+    rows = [
+        ("http://example.org/x", "iri",
+         "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+         "http://www.w3.org/2002/07/owl#Class", "iri", None, None),
+        ("http://example.org/x", "iri", "http://example.org/n", "5",
+         "literal", "http://www.w3.org/2001/XMLSchema#integer", None),
+        ("http://example.org/x", "iri", "http://example.org/s", "hi",
+         "literal", "http://www.w3.org/2001/XMLSchema#string", None),
+    ]
+    df = make_triples(spark, rows)
+    out = to_turtle_pretty(df).collect()
+    assert len(out) == 1
+    block = out[0]["value"]
+    assert block.startswith("ex:x ")
+    assert "a owl:Class" in block
+    assert "ex:n 5" in block
+    assert 'ex:s "hi"' in block
+    assert "^^" not in block  # xsd:string dropped, integer bare
