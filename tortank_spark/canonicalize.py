@@ -97,15 +97,27 @@ def connected_components(
         return edges.sparkSession.createDataFrame(
             [], "iri string, canonical string"
         )
+
+    def _sig(df):
+        # set signature: (count, order-independent xor of row hashes).
+        # Both edge sets are distinct-ified, so equal signatures mean
+        # equal sets up to a 2^-64 collision; one cheap aggregate per
+        # side replaces two anti-joins per round. bit_xor instead of sum
+        # avoids ANSI-mode long overflow.
+        row = df.select(F.xxhash64("src", "dst").alias("h")).agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(h)").alias("x"),
+        ).collect()[0]
+        return row["n"], row["x"]
+
+    cur_sig = _sig(cur)
     for _ in range(max_rounds):
         nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
-        changed = (
-            cur.join(nxt, ["src", "dst"], "left_anti").limit(1).count()
-            + nxt.join(cur, ["src", "dst"], "left_anti").limit(1).count()
-        )
+        nxt_sig = _sig(nxt)
         cur = nxt
-        if changed == 0:
+        if nxt_sig == cur_sig:
             break
+        cur_sig = nxt_sig
     # fixpoint is a star forest: src -> its component min (dst)
     stars = cur.select(F.col("src").alias("iri"), F.col("dst").alias("canonical"))
     roots = cur.select(F.col("dst").alias("iri"), F.col("dst").alias("canonical"))
