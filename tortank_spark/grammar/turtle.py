@@ -275,6 +275,13 @@ class TurtleParser:
         return Node(IRI_K, iri)
 
     def _iri_resolved(self) -> Node:
+        # dispatch on '<': a prefixed name can never start with '<'
+        # (empty prefix run would need ':' next), so this is equivalent
+        # to the reference's prefixed-then-enclosed alternation
+        # (triple_common_parser.rs:60-62) without the exception cost
+        self._ws()
+        if self.i < self.n and self.s[self.i] == "<":
+            return self._resolve_enclosed(self._enclosed_iri())
         save = self.i
         try:
             prefix, local = self._prefixed_parts()
