@@ -54,7 +54,7 @@ SF = _sf_of(SF_DIR)
 # full 32-core speed, then ~6 sustained cores; measured in
 # BASELINE.md §measured). Legs sleep beforehand to refill the budget.
 N_PAGES = max(1024, int(SF * 120_000))
-COOLDOWN_S = int(os.environ.get("SPARK_GRAFT_BENCH_COOLDOWN", "30"))
+COOLDOWN_S = int(os.environ.get("SPARK_GRAFT_BENCH_COOLDOWN", "45"))
 
 
 def _leg(cpus: int, n_pages: int) -> dict:
@@ -76,7 +76,7 @@ pages = fixtures.make_pages(spark, n_pages={n_pages},
 n_docs = pages.count()
 walls = []
 n_triples = 0
-for _ in range(2):
+for _ in range(3):
     t0 = time.time()
     n_triples = triples_only(extract_triples(pages)).agg(
         F.count("*")).collect()[0][0]
