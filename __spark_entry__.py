@@ -114,6 +114,17 @@ def _q_pattern_filter(spark, sf_dir):
     return pattern_filter(t, p="urn:event:click").select("s", "p", "o")
 
 
+def _q_parse_pattern(spark, sf_dir):
+    """R2 parse_and_list_statements: the bound term arrives in Turtle
+    syntax and is parsed by the grammar before filtering."""
+    from tortank_spark.algebra import parse_pattern_filter
+
+    t = _events_triples(spark, sf_dir)
+    return parse_pattern_filter(t, p="<urn:event:purchase>").select(
+        "s", "p", "o"
+    )
+
+
 def _q_difference(spark, sf_dir):
     """Users who clicked but never purchased — R3 as triple-bag
     difference on the subject-projected bags."""
@@ -401,6 +412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_connected_components": _q_connected_components,
         "kg_entity_link": _q_entity_link,
         "r1_pattern_filter": _q_pattern_filter,
+        "r2_parse_pattern": _q_parse_pattern,
         "r3_difference": _q_difference,
         "r4_intersection": _q_intersection,
         "r5_union_dedup": _q_union_dedup,
@@ -443,6 +455,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "r1_pattern_filter": _EVENTS_TRIPLES_SQL.replace(
             "FROM events", "FROM events WHERE event_type = 'click'"
+        ),
+        "r2_parse_pattern": _EVENTS_TRIPLES_SQL.replace(
+            "FROM events", "FROM events WHERE event_type = 'purchase'"
         ),
         "r3_difference": """
             SELECT DISTINCT 'urn:user:' || user_id AS s FROM events
