@@ -125,22 +125,46 @@ def _q_parse_pattern(spark, sf_dir):
     )
 
 
+def _did_triples(spark, sf_dir, types):
+    """Distinct (user, urn:did, <event_type literal>) triple bag on the
+    FULL 7-column schema: o is a plain literal with NULL datatype/lang,
+    so the set operators' null-safe full-row equality (algebra._row_cond)
+    is genuinely exercised."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type").isin(*types))
+        .select(
+            F.concat(F.lit("urn:user:"), F.col("user_id")).alias("s"),
+            F.lit("iri").alias("s_kind"),
+            F.lit("urn:did").alias("p"),
+            F.col("event_type").alias("o"),
+            F.lit("literal").alias("o_kind"),
+            F.lit(None).cast("string").alias("o_datatype"),
+            F.lit(None).cast("string").alias("o_lang"),
+        )
+        .distinct()
+    )
+
+
 def _q_difference(spark, sf_dir):
-    """Users who clicked but never purchased — R3 as triple-bag
-    difference on the subject-projected bags."""
+    """R3 through tt_difference (turtle_doc.rs:301-312) on two
+    overlapping triple bags: {click,view} minus {view,purchase} leaves
+    exactly the click rows — a non-empty, operator-shaped difference."""
     from tortank_spark.algebra import tt_difference
 
-    t = _events_triples(spark, sf_dir)
-    a = t.filter(F.col("p") == "urn:event:click").select("s").distinct()
-    b = t.filter(F.col("p") == "urn:event:purchase").select("s").distinct()
-    return a.join(b, "s", "left_anti")
+    a = _did_triples(spark, sf_dir, ["click", "view"])
+    b = _did_triples(spark, sf_dir, ["view", "purchase"])
+    return tt_difference(a, b).select("s", "p", "o")
 
 
 def _q_intersection(spark, sf_dir):
-    t = _events_triples(spark, sf_dir)
-    a = t.filter(F.col("p") == "urn:event:click").select("s").distinct()
-    b = t.filter(F.col("p") == "urn:event:purchase").select("s").distinct()
-    return a.join(b, "s", "left_semi")
+    """R4 through tt_intersection (turtle_doc.rs:314-325): the shared
+    view rows of the two bags."""
+    from tortank_spark.algebra import tt_intersection
+
+    a = _did_triples(spark, sf_dir, ["click", "view"])
+    b = _did_triples(spark, sf_dir, ["view", "purchase"])
+    return tt_intersection(a, b).select("s", "p", "o")
 
 
 def _q_union_dedup(spark, sf_dir):
@@ -335,9 +359,12 @@ def _q_ntriples_render(spark, sf_dir):
     return to_ntriples(t).select(F.col("value").alias("line"))
 
 
+# string literals render with the reference Display's default LONG
+# double-quote separator (turtle_doc.rs:1198-1205); native-typed
+# integers keep a plain quote pair (turtle_doc.rs:1212-1214)
 _ORACLE_NTRIPLES = f"""
-SELECT '<{EX}nation/' || n_nationkey || '> <{EX}ns#name> "' || n_name ||
-       '"^^<{XSD}string>.' AS line
+SELECT '<{EX}nation/' || n_nationkey || '> <{EX}ns#name> \"\"\"' || n_name ||
+       '\"\"\"^^<{XSD}string>.' AS line
 FROM nation
 UNION ALL
 SELECT '<{EX}nation/' || n_nationkey || '> <{EX}ns#regionkey> "' ||
@@ -460,18 +487,22 @@ def oracle_sql() -> dict[str, str]:
             "FROM events", "FROM events WHERE event_type = 'purchase'"
         ),
         "r3_difference": """
-            SELECT DISTINCT 'urn:user:' || user_id AS s FROM events
-            WHERE event_type = 'click'
+            SELECT DISTINCT 'urn:user:' || user_id AS s, 'urn:did' AS p,
+                   event_type AS o
+            FROM events WHERE event_type IN ('click', 'view')
             EXCEPT
-            SELECT DISTINCT 'urn:user:' || user_id AS s FROM events
-            WHERE event_type = 'purchase'
+            SELECT DISTINCT 'urn:user:' || user_id AS s, 'urn:did' AS p,
+                   event_type AS o
+            FROM events WHERE event_type IN ('view', 'purchase')
         """,
         "r4_intersection": """
-            SELECT DISTINCT 'urn:user:' || user_id AS s FROM events
-            WHERE event_type = 'click'
+            SELECT DISTINCT 'urn:user:' || user_id AS s, 'urn:did' AS p,
+                   event_type AS o
+            FROM events WHERE event_type IN ('click', 'view')
             INTERSECT
-            SELECT DISTINCT 'urn:user:' || user_id AS s FROM events
-            WHERE event_type = 'purchase'
+            SELECT DISTINCT 'urn:user:' || user_id AS s, 'urn:did' AS p,
+                   event_type AS o
+            FROM events WHERE event_type IN ('view', 'purchase')
         """,
         "r5_union_dedup": """
             SELECT 'urn:user:' || user_id AS s,

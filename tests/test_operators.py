@@ -121,6 +121,34 @@ def test_rewrite_canonical(spark):
     assert {(r["s"], r["o"]) for r in out.collect()} == {("A", "A"), ("A", "lit")}
 
 
+def test_rewrite_canonical_never_touches_literals(spark):
+    """A string literal whose lexical value equals a mapped IRI must NOT
+    be rewritten — URLs appear as literals constantly in web data."""
+    from tortank_spark.canonicalize import rewrite_canonical
+
+    triples = make_triples(
+        spark,
+        [
+            # object IS the IRI http://a/x -> rewritten
+            ("s1", "iri", "p", "http://a/x", "iri", None, None),
+            # object is a LITERAL that happens to spell the same URL
+            ("s2", "iri", "p", "http://a/x", "literal",
+             "http://www.w3.org/2001/XMLSchema#string", None),
+        ],
+    )
+    cmap = spark.createDataFrame(
+        [("http://a/x", "http://a/canon")], "iri string, canonical string"
+    )
+    got = {
+        (r["s"], r["o"], r["o_kind"])
+        for r in rewrite_canonical(triples, cmap).collect()
+    }
+    assert got == {
+        ("s1", "http://a/canon", "iri"),
+        ("s2", "http://a/x", "literal"),
+    }
+
+
 def test_minhash_near_dup_detects_similar_docs(spark):
     from tortank_spark.dedup import minhash_dedup_pairs
 
@@ -358,8 +386,73 @@ def test_turtle_pretty_output(spark):
     out = to_turtle_pretty(df).collect()
     assert len(out) == 1
     block = out[0]["value"]
-    assert block.startswith("ex:x ")
+    # subjects keep Display form — the reference groups on
+    # subject.to_string() and never compacts them (turtle_doc.rs:1335)
+    assert block.startswith("<http://example.org/x> ")
     assert "a owl:Class" in block
     assert "ex:n 5" in block
-    assert 'ex:s "hi"' in block
+    assert 'ex:s """hi"""' in block  # Display quoting kept, ^^xsd:string dropped
     assert "^^" not in block  # xsd:string dropped, integer bare
+
+
+def test_turtle_pretty_layout_and_header(spark):
+    """S8 full layout (turtle_doc.rs:1330-1381): @prefix header with
+    every used prefix + xsd; objects comma-joined in chunks of 2 with
+    tabbed continuations; later predicates tab-indented."""
+    from tortank_spark.serialize import to_turtle_pretty, turtle_document
+
+    rows = [
+        ("http://example.org/x", "iri", "http://example.org/p", f"o{i}",
+         "literal", "http://www.w3.org/2001/XMLSchema#string", None)
+        for i in range(5)
+    ] + [
+        ("http://example.org/x", "iri", "http://example.org/q",
+         "http://schema.org/Thing", "iri", None, None),
+    ]
+    df = make_triples(spark, rows)
+    doc = turtle_document(df)
+    header, _, body = doc.partition("\n\n")
+    assert "@prefix xsd: <http://www.w3.org/2001/XMLSchema#>." in header
+    assert "@prefix ex: <http://example.org/>." in header
+    assert "@prefix schema: <http://schema.org/>." in header
+    # chunks of 2: ', ' inside a chunk, ',\n\t\t' between chunks of the
+    # first predicate
+    block = body
+    assert 'ex:p """o0""", """o1""",\n\t\t"""o2""", """o3""",\n\t\t"""o4"""' in block
+    # second predicate starts tab-indented after ';\n'
+    assert ";\n\tex:q schema:Thing." in block
+
+
+def test_ntriples_display_golden_bytes(spark):
+    """S7 byte fidelity vs reference Display (turtle_doc.rs:1188-1270):
+    long-quote default separator for quoted strings, long-single when
+    the value ends with '\"' or contains '\"\"\"', plain quotes for
+    native-typed, '@lang' suffix, bnodes verbatim."""
+    from tortank_spark.serialize import to_ntriples
+
+    xsd = "http://www.w3.org/2001/XMLSchema#"
+    rows = [
+        ("a", "iri", "p", "plain", "literal", xsd + "string", None),
+        ("a", "iri", "p", 'ends"', "literal", xsd + "string", None),
+        ("a", "iri", "p", 'has """ inside', "literal", xsd + "string", None),
+        ("a", "iri", "p", "salut", "literal", None, "fr"),
+        ("a", "iri", "p", "42", "literal", xsd + "integer", None),
+        ("a", "iri", "p", "true", "literal", xsd + "boolean", None),
+        ("a", "iri", "p", "2021-01-01", "literal", xsd + "date", None),
+        # xsd:time NEVER coerces in the reference ladder -> quoted path
+        ("a", "iri", "p", "10:00:00", "literal", xsd + "time", None),
+        ("_:b1", "bnode", "p", "x", "iri", None, None),
+    ]
+    lines = {
+        r["value"]
+        for r in to_ntriples(make_triples(spark, rows)).collect()
+    }
+    assert f'<a> <p> """plain"""^^<{xsd}string>.' in lines
+    assert f"<a> <p> '''ends\"'''^^<{xsd}string>." in lines
+    assert f"<a> <p> '''has \"\"\" inside'''^^<{xsd}string>." in lines
+    assert '<a> <p> """salut"""@fr.' in lines
+    assert f'<a> <p> "42"^^<{xsd}integer>.' in lines
+    assert f'<a> <p> "true"^^<{xsd}boolean>.' in lines
+    assert f'<a> <p> "2021-01-01"^^<{xsd}date>.' in lines
+    assert f'<a> <p> """10:00:00"""^^<{xsd}time>.' in lines
+    assert "_:b1 <p> <x>." in lines

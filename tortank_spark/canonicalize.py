@@ -154,13 +154,21 @@ def rewrite_canonical(
     if broadcast_map:
         cmap = F.broadcast(cmap)
     smap = cmap.select(F.col("iri").alias("s"), F.col("canonical").alias("_cs"))
-    omap = cmap.select(F.col("iri").alias("o"), F.col("canonical").alias("_co"))
+    omap = cmap.select(F.col("iri").alias("_o_iri"), F.col("canonical").alias("_co"))
+    # the object join must be gated on o_kind == 'iri': web data is full
+    # of string literals whose lexical value IS a URL, and rewriting
+    # those would silently corrupt literal values (the map applies to
+    # IRI identity, never to literal content)
     out = (
         triples.join(smap, "s", "left")
-        .join(omap, "o", "left")
+        .join(
+            omap,
+            (triples["o"] == omap["_o_iri"]) & (triples["o_kind"] == "iri"),
+            "left",
+        )
         .withColumn("s", F.coalesce("_cs", "s"))
         .withColumn("o", F.coalesce("_co", "o"))
-        .drop("_cs", "_co")
+        .drop("_cs", "_co", "_o_iri")
     )
     return out.select(*triples.columns).dropDuplicates(
         [c for c in triples.columns]
