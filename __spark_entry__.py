@@ -382,6 +382,51 @@ def _q_minhash_neardup(spark, sf_dir):
     return minhash_dedup_pairs(docs, "doc_id", threshold=0.5)
 
 
+def _q_minhash_verified(spark, sf_dir):
+    """MinHash-LSH candidates verified with EXACT 3-gram Jaccard and
+    thresholded at 0.8 — the full dedup ladder. The DuckDB oracle
+    computes exact Jaccard over ALL pairs, so a pass certifies LSH
+    recall = 1.0 on every true near-dup pair of the corpus (at J>=0.8
+    with 16 bands x 4 rows the per-pair miss probability is ~4e-8)."""
+    from tortank_spark.dedup import (
+        lsh_candidate_pairs, minhash_signatures, ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "doc_id")
+    cand = lsh_candidate_pairs(sigs, "doc_id")
+    verified = ngram_jaccard_pairs(docs, cand, "doc_id")
+    return verified.filter(F.col("jaccard") >= 0.8).select(
+        "a", "b", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
+_ORACLE_MINHASH_VERIFIED = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                     t -> t <> '') AS tk
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(tk) < 3
+              THEN list_distinct([array_to_string(tk, ' ')])
+              ELSE list_distinct(list_transform(
+                     range(1, len(tk) - 1),
+                     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+         END AS sh
+  FROM toks
+)
+SELECT a.doc_id AS a, b.doc_id AS b,
+       round(len(list_intersect(a.sh, b.sh))::DOUBLE
+             / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+"""
+
+
 def _q_simhash(spark, sf_dir):
     from tortank_spark.dedup import simhash_signatures
 
@@ -397,13 +442,31 @@ def _q_lang_id(spark, sf_dir):
 
 
 def _q_lsh_ann(spark, sf_dir):
-    from tortank_spark.similarity import lsh_bucketed_topk
+    """Multi-table hyperplane-LSH ANN top-k (approximate -> rows-only;
+    sim_lsh_recall below pins its quality against the exact path)."""
+    from tortank_spark.similarity import lsh_multitable_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-    return lsh_bucketed_topk(
+    return lsh_multitable_topk(
         emb.filter(F.col("vec_id") != 0), "embedding",
-        [float(x) for x in q], k=10, n_bits=4
+        [float(x) for x in q], k=10
+    )
+
+
+def _q_lsh_recall(spark, sf_dir):
+    """Recall@10 of the ANN path vs the exact scorer, materialized as a
+    deterministic assertion row (seeded planes + fixed corpus). The
+    synthetic embeddings are near-uniform — LSH's adversarial case — so
+    the pinned floor is 0.7 (measured 0.8 at sf0.01) with the scan
+    certified pruned below 90% of the table."""
+    from tortank_spark.similarity import ann_recall_report
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return ann_recall_report(
+        emb.filter(F.col("vec_id") != 0), "embedding",
+        [float(x) for x in q], k=10
     )
 
 
@@ -432,10 +495,295 @@ def _q_multimodal_features(spark, sf_dir):
     )
 
 
+# ----------------------------------------------- sources / sinks (S3-S9)
+
+def _workdir(sf_dir: str, name: str) -> str:
+    """Deterministic scratch dir per (sf, query); wiped on entry so
+    every invocation reproduces the same bytes from scratch."""
+    import shutil
+
+    d = Path("/tmp/tortank_oracle") / (Path(sf_dir).name or "sf") / name
+    shutil.rmtree(d, ignore_errors=True)
+    d.mkdir(parents=True, exist_ok=True)
+    return str(d)
+
+
+def _nation_triples(spark, sf_dir):
+    from tortank_spark.extract import extract_triples, triples_only
+
+    return triples_only(
+        extract_triples(_nation_pages(spark, sf_dir), fixture_mode=True)
+    )
+
+
+def _q_src_ntriples(spark, sf_dir):
+    """S3 incremental N-Triples statement source (turtle_doc.rs:338-361):
+    write the nation triples as N-Triples lines, re-read them through
+    the line-oriented source, return the parsed statements."""
+    from tortank_spark.serialize import write_ntriples
+    from tortank_spark.sources import read_ntriples_lines
+
+    d = _workdir(sf_dir, "src_ntriples")
+    write_ntriples(_nation_triples(spark, sf_dir), d, partitions=2)
+    out = read_ntriples_lines(spark, d)
+    return out.filter(F.col("parse_ok") & F.col("s").isNotNull()).select(
+        "s", "p", "o", F.col("o_datatype").alias("o_dt")
+    )
+
+
+def _q_src_rdfjson(spark, sf_dir):
+    """S4/S5 RDF/JSON array source (turtle_doc.rs:228-240, 906-990):
+    write the reference's to_file(json=true) single-array layout, read
+    it back through the typed-node conversion."""
+    from tortank_spark.serialize import write_rdf_json_array
+    from tortank_spark.sources import read_rdf_json
+
+    d = _workdir(sf_dir, "src_rdfjson")
+    path = os.path.join(d, "triples.json")
+    write_rdf_json_array(_nation_triples(spark, sf_dir), path)
+    out = read_rdf_json(spark, path, array=True)
+    return out.select("s", "p", "o", F.col("o_datatype").alias("o_dt"))
+
+
+def _q_sink_ntriples(spark, sf_dir):
+    """S6 to_file N-Triples sink (turtle_doc.rs:425-487): write, then
+    read the raw bytes back — the oracle pins the exact line format."""
+    from tortank_spark.serialize import write_ntriples
+
+    d = _workdir(sf_dir, "sink_ntriples")
+    write_ntriples(_nation_triples(spark, sf_dir), d, partitions=2)
+    return spark.read.text(d).select(F.col("value").alias("line"))
+
+
+def _q_sink_rdfjson(spark, sf_dir):
+    """S9 RDF/JSON sink (JSON-lines distributed layout,
+    turtle_doc.rs:992-1004 node encoding): write, read raw lines back —
+    the oracle reconstructs the exact JSON strings."""
+    from tortank_spark.serialize import write_rdf_json
+
+    d = _workdir(sf_dir, "sink_rdfjson")
+    write_rdf_json(_nation_triples(spark, sf_dir), d)
+    return spark.read.text(d).select(F.col("value").alias("line"))
+
+
+_ORACLE_SINK_RDFJSON = f"""
+SELECT '{{"subject":{{"type":"uri","value":"{EX}nation/' || n_nationkey
+       || '"}},"predicate":{{"type":"uri","value":"{EX}ns#name"}},'
+       || '"object":{{"type":"literal","datatype":"{XSD}string","value":"'
+       || n_name || '"}}}}' AS line
+FROM nation
+UNION ALL
+SELECT '{{"subject":{{"type":"uri","value":"{EX}nation/' || n_nationkey
+       || '"}},"predicate":{{"type":"uri","value":"{EX}ns#regionkey"}},'
+       || '"object":{{"type":"literal","datatype":"{XSD}integer","value":"'
+       || n_regionkey || '"}}}}' AS line
+FROM nation
+"""
+
+
+def _q_add_statement(spark, sf_dir):
+    """R6 add_statement (turtle_doc.rs:284-293): insert one new triple
+    (kept) and one duplicate (dropped) into the click bag."""
+    from tortank_spark.algebra import add_statement
+
+    bag = _did_triples(spark, sf_dir, ["click"])
+    new_row = ("urn:user:added", "iri", "urn:did", "signup", "literal",
+               None, None)
+    dup_row = [tuple(r) for r in bag.orderBy("s").limit(1).collect()][0]
+    return add_statement(add_statement(bag, new_row), dup_row).select(
+        "s", "p", "o"
+    )
+
+
+def _q_add_prefixes(spark, sf_dir):
+    """R10 add_prefixes (turtle_doc.rs:264-283): the page uses exn:
+    prefixed names with NO in-doc @prefix — only the external seed map
+    resolves them; emitted triples must equal the directive version."""
+    from tortank_spark.extract import extract_triples, triples_only
+
+    nation = _t(spark, sf_dir, "nation")
+    text = F.concat(
+        F.lit(f"<{EX}nation/"), F.col("n_nationkey"), F.lit("> "),
+        F.lit("exn:name "), F.lit('"'), F.col("n_name"), F.lit('" ; '),
+        F.lit("exn:regionkey "), F.col("n_regionkey"), F.lit(" .\n"),
+    )
+    pages = nation.select(
+        F.concat(F.lit("urn:nation:"), F.col("n_nationkey")).alias("url"),
+        text.alias("text"),
+    )
+    t = triples_only(extract_triples(
+        pages, fixture_mode=True, seed_prefixes={"exn": f"{EX}ns#"}
+    ))
+    return t.select("s", "p", "o", F.col("o_datatype").alias("o_dt"))
+
+
+def _q_skolemize(spark, sf_dir):
+    """P20 skolem mode (turtle_doc.rs:733-747, default constant
+    shared.rs:14): anon bnodes become IRIs under the well-known prefix;
+    the per-doc counter restarts at 1 in fixture mode, so the emitted
+    skolem IRI is a constant the oracle reconstructs."""
+    from tortank_spark.extract import extract_triples, triples_only
+    from tortank_spark.grammar.turtle import DEFAULT_WELL_KNOWN_PREFIX
+
+    nation = _t(spark, sf_dir, "nation")
+    text = F.concat(
+        F.lit(f"@prefix ex: <{EX}ns#> .\n[ ex:describes <{EX}nation/"),
+        F.col("n_nationkey"),
+        F.lit('> ] ex:label "'), F.col("n_name"), F.lit('" .\n'),
+    )
+    pages = nation.select(
+        F.concat(F.lit("urn:nation:"), F.col("n_nationkey")).alias("url"),
+        text.alias("text"),
+    )
+    t = triples_only(extract_triples(
+        pages, fixture_mode=True,
+        well_known_prefix=DEFAULT_WELL_KNOWN_PREFIX,
+    ))
+    return t.select("s", "s_kind", "p", "o")
+
+
+_ORACLE_SKOLEM = f"""
+SELECT '{EX}.well-known/genid#1' AS s, 'iri' AS s_kind,
+       '{EX}ns#describes' AS p, '{EX}nation/' || n_nationkey AS o
+FROM nation
+UNION ALL
+SELECT '{EX}.well-known/genid#1' AS s, 'iri' AS s_kind,
+       '{EX}ns#label' AS p, n_name AS o
+FROM nation
+"""
+
+
+def _q_stream_ingest(spark, sf_dir):
+    """§2.4 streaming: land N-Triples files, drain them with the
+    Structured-Streaming ingest (availableNow + checkpoint + idempotent
+    per-batch sink), read the parquet sink back."""
+    from tortank_spark.serialize import write_ntriples
+    from tortank_spark.streaming import stream_ntriples_directory
+
+    d = _workdir(sf_dir, "stream_ingest")
+    land, out, ckpt = f"{d}/in", f"{d}/out", f"{d}/ckpt"
+    write_ntriples(_nation_triples(spark, sf_dir), land, partitions=2)
+    q = stream_ntriples_directory(spark, land, out, ckpt)
+    q.awaitTermination(300)
+    t = spark.read.parquet(out)
+    return t.filter(F.col("parse_ok") & F.col("s").isNotNull()).select(
+        "s", "p", "o", F.col("o_datatype").alias("o_dt")
+    )
+
+
+# -------------------------------------- full-grammar extraction oracle
+
+_FULL_DOC_TEMPLATE = """@prefix ex: <http://example.org/ns#> .
+@base <http://example.org/> .
+<nation/%s> ex:name \"\"\"%s\"\"\" ;
+  ex:motto "libert\\u{00E9} \\n '%s'"@fr ;
+  ex:pop 3E1 ;
+  ex:frac 1.663E-4 ;
+  ex:big 123456789012 ;
+  ex:founded "2021-01-01T10:10:10.000Z"^^<http://www.w3.org/2001/XMLSchema#dateTime> ;
+  ex:day "2021-09-12"^^<http://www.w3.org/2001/XMLSchema#date> ;
+  ex:active true ;
+  ex:tags ( "t%s" <thing/%s> 42 ) ;
+  ex:officer [ ex:rank %s ] .
+_:chief%s ex:serves <nation/%s> .
+"""
+
+
+def _q_extract_full(spark, sf_dir):
+    """The hard-grammar oracle: every page embeds long-quoted strings,
+    \\u{...} brace escapes (string_parser.rs:27-48), lang tags, the
+    numeric ladder (3E1 -> decimal '30', triple_common_parser.rs:154-164),
+    typed temporal coercion + date fallback (turtle_doc.rs:600-710),
+    booleans, collections -> cons chains (turtle_doc.rs:801-830), anon +
+    labeled bnodes with counter allocation order (turtle_doc.rs:733-799),
+    base/prefix directives — P3 and P8-P21 end to end, pinned by a
+    DuckDB oracle that reconstructs all 18 expected rows per page."""
+    from tortank_spark.extract import extract_triples, triples_only
+
+    nation = _t(spark, sf_dir, "nation")
+    k = F.col("n_nationkey").cast("string")
+    pages = nation.select(
+        F.concat(F.lit("urn:nation:"), k).alias("url"),
+        F.format_string(
+            _FULL_DOC_TEMPLATE, k, F.col("n_name"), F.col("n_name"), k, k,
+            F.col("n_regionkey").cast("string"), k, k,
+        ).alias("text"),
+    )
+    t = triples_only(extract_triples(pages, fixture_mode=True))
+    return t.select(
+        "s", "s_kind", "p", "o", "o_kind",
+        F.col("o_datatype").alias("o_dt"), F.col("o_lang").alias("o_lg"),
+    )
+
+
+_RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+_NS = f"{EX}ns#"
+
+
+def _full_oracle_sql() -> str:
+    nk = "CAST(n_nationkey AS VARCHAR)"
+    subj = f"'{EX}nation/' || {nk}"
+    # (s, s_kind, p, o, o_kind, o_dt, o_lg) per row of the template parse
+    motto = "'libert' || chr(233) || ' ' || chr(10) || ' ''' || n_name || ''''"
+    rows = [
+        (subj, "'iri'", f"'{_NS}name'", "n_name", "'literal'",
+         f"'{XSD}string'", "NULL"),
+        (subj, "'iri'", f"'{_NS}motto'", motto, "'literal'", "NULL", "'fr'"),
+        (subj, "'iri'", f"'{_NS}pop'", "'30'", "'literal'",
+         f"'{XSD}decimal'", "NULL"),
+        (subj, "'iri'", f"'{_NS}frac'", "'0.0001663'", "'literal'",
+         f"'{XSD}decimal'", "NULL"),
+        (subj, "'iri'", f"'{_NS}big'", "'123456789012'", "'literal'",
+         f"'{XSD}integer'", "NULL"),
+        (subj, "'iri'", f"'{_NS}founded'", "'2021-01-01T10:10:10.000Z'",
+         "'literal'", f"'{XSD}dateTime'", "NULL"),
+        (subj, "'iri'", f"'{_NS}day'", "'2021-09-12'", "'literal'",
+         f"'{XSD}date'", "NULL"),
+        (subj, "'iri'", f"'{_NS}active'", "'true'", "'literal'",
+         f"'{XSD}boolean'", "NULL"),
+        ("'_:1'", "'bnode'", f"'{_RDF}first'", f"'t' || {nk}", "'literal'",
+         f"'{XSD}string'", "NULL"),
+        ("'_:2'", "'bnode'", f"'{_RDF}first'", f"'{EX}thing/' || {nk}",
+         "'iri'", "NULL", "NULL"),
+        ("'_:3'", "'bnode'", f"'{_RDF}first'", "'42'", "'literal'",
+         f"'{XSD}integer'", "NULL"),
+        ("'_:3'", "'bnode'", f"'{_RDF}rest'", f"'{_RDF}nil'", "'iri'",
+         "NULL", "NULL"),
+        ("'_:2'", "'bnode'", f"'{_RDF}rest'", "'_:3'", "'bnode'",
+         "NULL", "NULL"),
+        ("'_:1'", "'bnode'", f"'{_RDF}rest'", "'_:2'", "'bnode'",
+         "NULL", "NULL"),
+        (subj, "'iri'", f"'{_NS}tags'", "'_:1'", "'bnode'", "NULL", "NULL"),
+        ("'_:4'", "'bnode'", f"'{_NS}rank'", "CAST(n_regionkey AS VARCHAR)",
+         "'literal'", f"'{XSD}integer'", "NULL"),
+        (subj, "'iri'", f"'{_NS}officer'", "'_:4'", "'bnode'",
+         "NULL", "NULL"),
+        (f"'_:chief' || {nk}", "'bnode'", f"'{_NS}serves'", subj, "'iri'",
+         "NULL", "NULL"),
+    ]
+    selects = [
+        f"SELECT {s} AS s, {sk} AS s_kind, {p} AS p, {o} AS o, "
+        f"{ok} AS o_kind, {dt} AS o_dt, {lg} AS o_lg FROM nation"
+        for (s, sk, p, o, ok, dt, lg) in rows
+    ]
+    return "\nUNION ALL\n".join(selects)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_extract_turtle": _q_extract_turtle,
+        "kg_extract_full": _q_extract_full,
+        "kg_skolemize": _q_skolemize,
         "kg_ntriples_render": _q_ntriples_render,
+        "s3_src_ntriples": _q_src_ntriples,
+        "s4_src_rdfjson": _q_src_rdfjson,
+        "s6_sink_ntriples": _q_sink_ntriples,
+        "s9_sink_rdfjson": _q_sink_rdfjson,
+        "r6_add_statement": _q_add_statement,
+        "r10_add_prefixes": _q_add_prefixes,
+        "stream_ingest": _q_stream_ingest,
+        "dedup_minhash_verified": _q_minhash_verified,
+        "sim_lsh_recall": _q_lsh_recall,
         "kg_connected_components": _q_connected_components,
         "kg_entity_link": _q_entity_link,
         "r1_pattern_filter": _q_pattern_filter,
@@ -465,7 +813,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "kg_extract_turtle": _ORACLE_EXTRACT,
+        "kg_extract_full": _full_oracle_sql(),
+        "kg_skolemize": _ORACLE_SKOLEM,
         "kg_ntriples_render": _ORACLE_NTRIPLES,
+        "s3_src_ntriples": _ORACLE_EXTRACT,
+        "s4_src_rdfjson": _ORACLE_EXTRACT,
+        "s6_sink_ntriples": _ORACLE_NTRIPLES,
+        "s9_sink_rdfjson": _ORACLE_SINK_RDFJSON,
+        "r6_add_statement": """
+            SELECT DISTINCT 'urn:user:' || user_id AS s, 'urn:did' AS p,
+                   event_type AS o
+            FROM events WHERE event_type = 'click'
+            UNION
+            SELECT 'urn:user:added' AS s, 'urn:did' AS p, 'signup' AS o
+        """,
+        "r10_add_prefixes": _ORACLE_EXTRACT,
+        "stream_ingest": _ORACLE_EXTRACT,
+        "dedup_minhash_verified": _ORACLE_MINHASH_VERIFIED,
+        "sim_lsh_recall": (
+            "SELECT 10 AS k, true AS recall_ok, true AS pruned"
+        ),
         "kg_connected_components": _ORACLE_CC,
         "kg_entity_link": f"""
             WITH alias_dict(alias, entity_iri, prior) AS (VALUES {_ALIAS_VALUES}),

@@ -257,3 +257,51 @@ def test_fixture_json_0027():
         s, p, o = node(tr["subject"]), node(tr["predicate"]), node(tr["object"])
         want.add((s[0], s[1], p[0], o[0], o[1], o[2], o[3]))
     assert set(inp) == want
+
+
+def test_skolemization_well_known_prefix():
+    """P20 skolem mode (turtle_doc.rs:733-747): with a well-known
+    prefix, labeled bnodes become <wkp+label> and unlabeled become
+    <wkp+counter> (test-mode uuid = counter, turtle_doc.rs:33-51);
+    default constant shared.rs:14."""
+    from tortank_spark.grammar.turtle import DEFAULT_WELL_KNOWN_PREFIX
+
+    text = '<a> <p> [ <q> "v" ] .\n_:x <p> <b> .'
+    triples, err = parse_document(
+        text, well_known_prefix=DEFAULT_WELL_KNOWN_PREFIX
+    )
+    assert err is None
+    gen1 = DEFAULT_WELL_KNOWN_PREFIX + "1"
+    genx = DEFAULT_WELL_KNOWN_PREFIX + "x"
+    got = {(t[0], t[1], t[2], t[3], t[4]) for t in triples}
+    assert (gen1, "iri", "q", "v", "literal") in got
+    assert ("a", "iri", "p", gen1, "iri") in got
+    assert (genx, "iri", "p", "b", "iri") in got
+    # without the option, same doc keeps blank-node identity
+    plain, err2 = parse_document(text)
+    assert err2 is None
+    assert {t[1] for t in plain} == {"bnode", "iri"}
+
+
+def test_seed_prefixes_external_map():
+    """R10 add_prefixes (turtle_doc.rs:264-283): an external prefix map
+    resolves prefixed names with no in-doc directive; the doc's own
+    @prefix overrides the seed for subsequent statements."""
+    seed = {"foaf": "http://xmlns.com/foaf/0.1/"}
+    triples, err = parse_document('foaf:a foaf:knows foaf:b .',
+                                  seed_prefixes=seed)
+    assert err is None
+    assert triples[0][0] == "http://xmlns.com/foaf/0.1/a"
+    assert triples[0][2] == "http://xmlns.com/foaf/0.1/knows"
+
+    text = ('foaf:a foaf:p "pre" .\n'
+            '@prefix foaf: <http://other/> .\n'
+            'foaf:a foaf:p "post" .')
+    triples, err = parse_document(text, seed_prefixes=seed)
+    assert err is None
+    by_obj = {t[3]: t[0] for t in triples}
+    assert by_obj["pre"] == "http://xmlns.com/foaf/0.1/a"
+    assert by_obj["post"] == "http://other/a"
+    # unknown prefix without a seed is still a doc error
+    _, err = parse_document('foaf:a foaf:p "x" .')
+    assert err is not None and "foaf" in err

@@ -190,6 +190,26 @@ def test_simhash_hamming_close_for_near_dups(spark):
     assert pairs[(1, 2)] == 0
 
 
+def test_simhash_multi_index_guarantee(spark):
+    """Manku multi-index pigeonhole: ANY pair within hamming 3 is a
+    candidate (exhaustively, via adversarial bit placements hitting 3
+    different blocks); pairs beyond the radius are filtered."""
+    from tortank_spark.dedup import simhash_candidate_pairs
+
+    base = 0x0123456789ABCDEF
+    flips3 = base ^ (1 << 5) ^ (1 << 30) ^ (1 << 60)   # 3 bits, 3 blocks
+    flips3b = base ^ 0b111                              # 3 bits, 1 block
+    far = base ^ ((1 << 20) - 1)                        # 20 bits
+    sigs = spark.createDataFrame(
+        [(1, base), (2, flips3), (3, flips3b), (4, far)],
+        "doc_id long, simhash long",
+    )
+    got = {(r["a"], r["b"]) for r in
+           simhash_candidate_pairs(sigs, "doc_id").collect()}
+    assert (1, 2) in got and (1, 3) in got
+    assert (1, 4) not in got  # outside the hamming radius
+
+
 def test_ngram_jaccard_verification(spark):
     from tortank_spark.dedup import ngram_jaccard_pairs
 

@@ -37,8 +37,20 @@ from pyspark.sql.types import (
 from .textops import doc_fingerprint
 
 _TOKEN_RE = re.compile(r"\s+")
-_MERSENNE = (1 << 61) - 1
-_MAXH = (1 << 32) - 1
+# universal-hash modulus for minhash: the 31-bit Mersenne prime. The
+# choice is load-bearing: with p = 2^31-1, a,b < p and x masked to 31
+# bits, a*x + b < 2^62 fits int64 EXACTLY and the mod is a genuine
+# modular reduction. (Round-1 used p = 2^61-1 with a < 2^61 — the
+# multiply silently wrapped int64; and the naive "keep a < 2^31" repair
+# makes a*x + b < p so the mod never wraps at all, leaving h(x)
+# order-preserving in x — every hash function then elects the same
+# minimum shingle and the Jaccard estimator collapses.)
+_MERSENNE31 = (1 << 31) - 1
+_MAXH = (1 << 31) - 1
+# multipliers for the vectorized polynomial shingle hash (odd 64-bit
+# constants; uint64 wraparound arithmetic)
+_POLY = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9],
+                 dtype=np.uint64)
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
@@ -51,21 +63,39 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame
     )
 
 
-def _shingles(tokens: list, k: int = 3):
-    if len(tokens) < k:
-        return {" ".join(tokens)} if tokens else set()
-    return {" ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)}
-
-
 def _hash64(s: str) -> int:
     return struct.unpack("<Q", hashlib.blake2b(s.encode(), digest_size=8).digest())[0]
 
 
 def _minhash_params(n_hashes: int, seed: int = 42):
     rng = np.random.RandomState(seed)
-    a = rng.randint(1, _MERSENNE, size=n_hashes, dtype=np.int64)
-    b = rng.randint(0, _MERSENNE, size=n_hashes, dtype=np.int64)
+    a = rng.randint(1, _MERSENNE31, size=n_hashes, dtype=np.int64)
+    b = rng.randint(0, _MERSENNE31, size=n_hashes, dtype=np.int64)
     return a, b
+
+
+def _shingle_hashes(toks: list, k: int, vocab: dict) -> np.ndarray:
+    """Distinct k-shingle 64-bit hashes, vectorized: each UNIQUE token
+    is blake2b-hashed once per batch (vocab cache), then shingle hashes
+    are a polynomial combination of the k token-hash arrays — no
+    per-shingle Python hashing (the round-1 hot spot)."""
+    if not toks:
+        return np.empty(0, dtype=np.uint64)
+    np.seterr(over="ignore")  # uint64 wraparound IS the hash
+    th = np.fromiter(
+        (vocab.setdefault(t, _hash64(t)) for t in toks),
+        dtype=np.uint64, count=len(toks),
+    )
+    if len(toks) < k:
+        acc = np.uint64(0x9E3779B97F4A7C15)
+        for i, h in enumerate(th):
+            acc = acc * _POLY[i % 3] + h  # uint64 wraparound is the hash
+        return np.array([acc], dtype=np.uint64)
+    n = len(toks) - k + 1
+    acc = np.zeros(n, dtype=np.uint64)
+    for j in range(k):
+        acc = acc * _POLY[j % 3] + th[j : j + n]
+    return np.unique(acc)
 
 
 def minhash_signatures(
@@ -86,21 +116,20 @@ def minhash_signatures(
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        vocab: dict = {}
         for pdf in batches:
             out_ids, out_sigs = [], []
             for did, text in zip(pdf[id_col].values, pdf[text_col].values):
-                toks = _TOKEN_RE.split((text or "").lower().strip())
-                sh = _shingles([t for t in toks if t], shingle_k)
-                if not sh:
+                toks = [t for t in _TOKEN_RE.split((text or "").lower().strip())
+                        if t]
+                sh = _shingle_hashes(toks, shingle_k, vocab)
+                if sh.size == 0:
                     sig = np.zeros(n_hashes, dtype=np.int64)
                 else:
-                    xs = np.fromiter(
-                        ((_hash64(s) & _MAXH) for s in sh),
-                        dtype=np.int64,
-                        count=len(sh),
-                    )
-                    # (a*x + b) mod p, then min over shingles per hash fn
-                    m = (a[:, None] * xs[None, :] + b[:, None]) % _MERSENNE
+                    xs = (sh & np.uint64(_MAXH)).astype(np.int64)
+                    # (a*x + b) mod p, exact in int64, then min over
+                    # shingles per hash fn
+                    m = (a[:, None] * xs[None, :] + b[:, None]) % _MERSENNE31
                     sig = m.min(axis=1)
                 out_ids.append(did)
                 out_sigs.append(sig.tolist())
@@ -209,26 +238,50 @@ def simhash_signatures(
     return df.select(id_col, text_col).mapInPandas(gen, schema=schema)
 
 
-def simhash_candidate_pairs(sigs: DataFrame, id_col: str) -> DataFrame:
-    """Band the 64-bit simhash into four 16-bit chunks; docs sharing any
-    chunk are candidates (catches up to ~3-bit differences by pigeonhole)."""
-    chunks = [
-        F.shiftrightunsigned(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF))
-        .alias(f"c{i}")
-        for i in range(4)
+# Manku/Jain/Das Sarma (WWW'07) multi-index layout: split the 64-bit
+# simhash into 6 blocks; a pair within hamming distance 3 leaves >= 3
+# blocks untouched, so indexing every C(6,3)=20 combination of 3 blocks
+# (~32-bit keys) guarantees such a pair shares at least one key.
+_SIMHASH_BLOCKS = [(0, 11), (11, 11), (22, 11), (33, 11), (44, 10), (54, 10)]
+_SIMHASH_COMBOS = [
+    (i, j, k)
+    for i in range(6) for j in range(i + 1, 6) for k in range(j + 1, 6)
+]
+
+
+def simhash_candidate_pairs(
+    sigs: DataFrame, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Candidate pairs within ``max_hamming`` bits, via the Manku
+    multi-index: 20 bands of ~32-bit keys instead of 4 bands of 16-bit
+    keys. At 10^9+ docs a 16-bit band holds ~n/65k docs per bucket and
+    the within-bucket self-join goes quadratic; 32-bit keys keep the
+    expected bucket population O(n / 4e9) — the scale knob the round-1
+    design lacked. Guarantee: hamming <= 3 differing bits touch <= 3 of
+    the 6 blocks, so some untouched 3-block combination key is shared
+    (pigeonhole). The exact hamming filter runs on candidates only."""
+
+    def block(i):
+        off, width = _SIMHASH_BLOCKS[i]
+        return F.shiftrightunsigned(F.col("simhash"), off).bitwiseAND(
+            F.lit((1 << width) - 1)
+        )
+
+    keys = [
+        # combo id in the top bits keeps bands disjoint in one column
+        (block(i) + F.shiftleft(block(j), 11)
+         + F.shiftleft(block(k), 22)
+         + F.shiftleft(F.lit(cid), 54)).cast("long")
+        for cid, (i, j, k) in enumerate(_SIMHASH_COMBOS)
     ]
-    banded = sigs.select(id_col, "simhash", *chunks)
-    banded = banded.select(
-        id_col,
-        "simhash",
-        F.posexplode(F.array("c0", "c1", "c2", "c3")).alias("band", "chunk"),
+    banded = sigs.select(
+        id_col, "simhash", F.explode(F.array(*keys)).alias("key")
     )
     l, r = banded.alias("l"), banded.alias("r")
     return (
         l.join(
             r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.chunk") == F.col("r.chunk"))
+            (F.col("l.key") == F.col("r.key"))
             & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
         )
         .select(
@@ -237,6 +290,7 @@ def simhash_candidate_pairs(sigs: DataFrame, id_col: str) -> DataFrame:
             _hamming64(F.col("l.simhash"), F.col("r.simhash")).alias("hamming"),
         )
         .distinct()
+        .filter(F.col("hamming") <= max_hamming)
     )
 
 

@@ -40,7 +40,8 @@ def _salt(url: str) -> str:
 
 
 def _extract_batches(
-    batches: Iterator[pd.DataFrame], fixture_mode: bool
+    batches: Iterator[pd.DataFrame], fixture_mode: bool,
+    seed_prefixes=None, well_known_prefix=None,
 ) -> Iterator[pd.DataFrame]:
     # columnar accumulation: one python list per output column beats a
     # list of 10-tuples by ~2x on DataFrame construction — this is the
@@ -50,7 +51,11 @@ def _extract_batches(
         ap = {c: cols[c].append for c in _COLS}
         for url, text in zip(pdf["url"].values, pdf["text"].values):
             prefix = "" if fixture_mode else _salt(url)
-            triples, err = parse_document(text or "", bnode_prefix=prefix)
+            triples, err = parse_document(
+                text or "", bnode_prefix=prefix,
+                seed_prefixes=seed_prefixes,
+                well_known_prefix=well_known_prefix,
+            )
             if err is not None or not triples:
                 ap["url"](url)
                 ap["s"](None); ap["s_kind"](None); ap["p"](None)
@@ -73,16 +78,28 @@ def _extract_batches(
         yield pd.DataFrame(cols)
 
 
-def extract_triples(pages: DataFrame, fixture_mode: bool = False) -> DataFrame:
+def extract_triples(
+    pages: DataFrame,
+    fixture_mode: bool = False,
+    seed_prefixes: dict | None = None,
+    well_known_prefix: str | None = None,
+) -> DataFrame:
     """pages(url, text, ...) -> raw extraction rows incl. quarantine rows.
 
     ``fixture_mode`` disables url-salting of blank-node labels so labels
     are the reference's deterministic per-doc counter ``_:1, _:2, ...``
     (turtle_doc.rs:33-51) — used by the fixture P/R harness.
+    ``seed_prefixes`` (R10, turtle_doc.rs:264-283) and
+    ``well_known_prefix`` (skolemization, turtle_doc.rs:733-747) are
+    broadcast to every parser call as plain closure constants — tiny
+    dicts ride the task closure; a huge external prefix table would use
+    ``spark.sparkContext.broadcast`` instead.
     """
     cols = pages.select("url", "text")  # explicit pruning to the scan
     return cols.mapInPandas(
-        lambda it: _extract_batches(it, fixture_mode), schema=EXTRACT_SCHEMA
+        lambda it: _extract_batches(it, fixture_mode, seed_prefixes,
+                                    well_known_prefix),
+        schema=EXTRACT_SCHEMA,
     )
 
 

@@ -176,12 +176,24 @@ class TurtleParser:
     """
 
     def __init__(self, text: str, bnode_prefix: str = "",
-                 local_utc_offset_seconds: int = 0):
+                 local_utc_offset_seconds: int = 0,
+                 seed_prefixes: Optional[dict] = None,
+                 well_known_prefix: Optional[str] = None):
         self.s = text
         self.n = len(text)
         self.i = 0
         self.base: Optional[str] = None
-        self.prefixes: dict[str, str] = {}
+        # R10 add_prefixes (turtle_doc.rs:264-283): an external prefix
+        # map seeds the doc context; the doc's own @prefix directives
+        # override in order. Seed values are expected absolute (the
+        # reference resolves relative values against the doc base; a
+        # pre-parse seed has no base yet, so relative seeds are kept
+        # verbatim — the external-dictionary case is always absolute).
+        self.prefixes: dict[str, str] = dict(seed_prefixes) if seed_prefixes else {}
+        # skolemization (turtle_doc.rs:733-747): when set, blank nodes
+        # become IRIs <wkp + label-or-counter>; default constant
+        # DEFAULT_WELL_KNOWN_PREFIX mirrors shared.rs:14
+        self.wkp = well_known_prefix
         self.bnode_prefix = bnode_prefix
         self.bnode_counter = 0
         self.local_off = local_utc_offset_seconds
@@ -473,6 +485,11 @@ class TurtleParser:
 
     def _new_bnode(self) -> Node:
         self.bnode_counter += 1
+        if self.wkp is not None:
+            # unlabeled bnode skolemized to an IRI (turtle_doc.rs:740-743);
+            # the reference interpolates a uuid (test-mode: counter), we
+            # keep the salt+counter for cross-document uniqueness
+            return Node(IRI_K, f"{self.wkp}{self.bnode_prefix}{self.bnode_counter}")
         return Node(BNODE_K, f"{self.bnode_prefix}{self.bnode_counter}")
 
     def _labeled_node(self, label: str) -> Node:
@@ -484,6 +501,11 @@ class TurtleParser:
         reference skolemizes against one global well-known prefix,
         turtle_doc.rs:734-736 — correct for single docs, ambiguous
         across a corpus)."""
+        if self.wkp is not None:
+            # labeled bnode skolemized verbatim (turtle_doc.rs:734-736);
+            # like the reference, labels are doc-scoped so the caller
+            # owns cross-document disambiguation in this mode
+            return Node(IRI_K, self.wkp + label)
         if self.bnode_prefix:
             return Node(BNODE_K, f"{self.bnode_prefix}L{label}")
         return Node(BNODE_K, label)
@@ -924,8 +946,14 @@ def _replay(parser: TurtleParser, start: int, end: int, what: str):
         parser.i, parser.n = save_i, save_n
 
 
+# default skolem namespace, shared.rs:14
+DEFAULT_WELL_KNOWN_PREFIX = "http://example.org/.well-known/genid#"
+
+
 def parse_document(
-    text: str, bnode_prefix: str = "", local_utc_offset_seconds: int = 0
+    text: str, bnode_prefix: str = "", local_utc_offset_seconds: int = 0,
+    seed_prefixes: Optional[dict] = None,
+    well_known_prefix: Optional[str] = None,
 ):
     """Parse one Turtle/N-Triples document.
 
@@ -935,8 +963,14 @@ def parse_document(
     reference rejects the whole doc (turtle_doc.rs:888-905); a web-scale
     pipeline quarantines the row instead of crashing the job
     (SURVEY.md §7 hard-part 5).
+
+    ``seed_prefixes`` is the R10 add_prefixes external prefix map
+    (turtle_doc.rs:264-283); ``well_known_prefix`` turns on bnode
+    skolemization (turtle_doc.rs:733-747; pass
+    DEFAULT_WELL_KNOWN_PREFIX for the reference default, shared.rs:14).
     """
-    p = TurtleParser(text, bnode_prefix, local_utc_offset_seconds)
+    p = TurtleParser(text, bnode_prefix, local_utc_offset_seconds,
+                     seed_prefixes, well_known_prefix)
     try:
         return p.parse(), None
     except (DocError, CoercionError) as e:

@@ -92,21 +92,131 @@ def lsh_bucket_signatures(
     return df.select(id_col, vec_col).mapInPandas(gen, schema=schema)
 
 
+def _probe_buckets(qbucket: int, n_bits: int, n_probes: int) -> list:
+    """Multi-probe sequence: the query bucket, then buckets at hamming
+    distance 1, 2, ... until ``n_probes`` buckets are collected —
+    neighbors differing in one hyperplane sign are the likeliest homes
+    of near-misses (Lv et al., multi-probe LSH, VLDB'07)."""
+    out, dist = [qbucket], 1
+    while len(out) < n_probes and dist <= n_bits:
+        import itertools
+
+        for flip in itertools.combinations(range(n_bits), dist):
+            b = qbucket
+            for f in flip:
+                b ^= 1 << f
+            out.append(b)
+            if len(out) >= n_probes:
+                break
+        dist += 1
+    return out
+
+
 def lsh_bucketed_topk(
     df: DataFrame, vec_col: str, query: list, k: int = 10,
-    n_bits: int = 8, id_col: str = "vec_id",
+    n_bits: int = 8, id_col: str = "vec_id", n_probes: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: score only vectors in the query's LSH bucket.
-    At scale the bucket column is a partition key and this becomes a
-    partition-pruned scan; here it is a filter + the exact scorer."""
+    """Approximate top-k: score only vectors in the query's LSH bucket
+    plus ``n_probes - 1`` neighboring probe buckets. At scale the
+    bucket column is a partition key and this becomes a partition-pruned
+    scan of n_probes/2^n_bits of the data; here it is a filter + the
+    exact scorer. Recall rises with n_probes at linear scan cost —
+    sim_lsh_recall in __spark_entry__.py pins recall@k against the
+    exact path."""
     dim = len(query)
     planes = _hyperplanes(dim, n_bits)
     qbits = (planes @ np.asarray(query, dtype=np.float64)) > 0
     qbucket = int(
         (qbits.astype(np.int64) * (1 << np.arange(n_bits, dtype=np.int64))).sum()
     )
+    probes = _probe_buckets(qbucket, n_bits, n_probes)
     sigs = lsh_bucket_signatures(df, vec_col, dim, n_bits, id_col)
     in_bucket = df.join(
-        sigs.filter(F.col("bucket") == qbucket).select(id_col), id_col, "left_semi"
+        sigs.filter(F.col("bucket").isin(probes)).select(id_col),
+        id_col, "left_semi",
     )
     return topk_cosine(in_bucket, vec_col, query, k, id_col)
+
+
+def _table_planes(dim: int, n_bits: int, table: int) -> np.ndarray:
+    return _hyperplanes(dim, n_bits, seed=7 + 31 * table)
+
+
+def lsh_multitable_candidates(
+    df: DataFrame, vec_col: str, query: list,
+    n_bits: int = 4, n_tables: int = 12, id_col: str = "vec_id",
+) -> DataFrame:
+    """Multi-table LSH candidate set: L independent hyperplane tables;
+    a vector is a candidate if it shares the query's bucket in ANY
+    table (collision prob 1-(1-p^b)^L). All L signatures are computed
+    in ONE vectorized pandas stage (one matmul against the stacked
+    (L*b, dim) plane matrix per Arrow batch). At scale each table's
+    bucket column is a partition key; b grows with log(n) and L is the
+    recall knob."""
+    dim = len(query)
+    qv = np.asarray(query, dtype=np.float64)
+    all_planes = np.concatenate(
+        [_table_planes(dim, n_bits, t) for t in range(n_tables)], axis=0
+    )
+    weights = 1 << np.arange(n_bits, dtype=np.int64)
+    qbits = (all_planes @ qv).reshape(n_tables, n_bits) > 0
+    qbuckets = (qbits.astype(np.int64) * weights).sum(axis=1)
+
+    schema = StructType(
+        [StructField(id_col, df.schema[id_col].dataType, False)]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mat = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col].values]
+            )
+            bits = (mat @ all_planes.T).reshape(len(mat), n_tables, n_bits) > 0
+            buckets = (bits.astype(np.int64) * weights).sum(axis=2)
+            hit = (buckets == qbuckets).any(axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col].values[hit]})
+
+    return df.select(id_col, vec_col).mapInPandas(gen, schema=schema)
+
+
+def lsh_multitable_topk(
+    df: DataFrame, vec_col: str, query: list, k: int = 10,
+    n_bits: int = 4, n_tables: int = 12, id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k over the multi-table candidate set, re-ranked
+    with the exact scorer."""
+    cand = lsh_multitable_candidates(df, vec_col, query, n_bits, n_tables,
+                                     id_col)
+    return topk_cosine(df.join(cand, id_col, "left_semi"), vec_col, query,
+                       k, id_col)
+
+
+def ann_recall_report(
+    df: DataFrame, vec_col: str, query: list, k: int = 10,
+    n_bits: int = 4, n_tables: int = 12, id_col: str = "vec_id",
+    recall_floor: float = 0.7, scan_ceiling: float = 0.9,
+) -> DataFrame:
+    """Recall@k of the multi-table ANN vs the exact path, materialized
+    as one assertion row (k, recall_ok, pruned): everything is
+    deterministic (seeded planes, fixed corpus) so the booleans pin the
+    ANN quality as a regression oracle. ``pruned`` certifies the
+    candidate set actually pruned the scan (not brute force). NOTE: the
+    synthetic embeddings are near-uniform on the sphere — the
+    adversarial case for LSH — so the demonstrable recall floor here is
+    deliberately below what clustered real embeddings yield."""
+    spark = df.sparkSession
+    exact = topk_cosine(df, vec_col, query, k, id_col)
+    approx = lsh_multitable_topk(df, vec_col, query, k, n_bits, n_tables,
+                                 id_col)
+    n_hits = approx.select(id_col).join(
+        exact.select(id_col), id_col, "left_semi"
+    ).count()
+    n_cand = lsh_multitable_candidates(
+        df, vec_col, query, n_bits, n_tables, id_col
+    ).count()
+    n_all = df.count()
+    recall = n_hits / k
+    return spark.createDataFrame(
+        [(k, recall >= recall_floor, n_cand < scan_ceiling * n_all)],
+        "k int, recall_ok boolean, pruned boolean",
+    )

@@ -59,8 +59,13 @@ def rdf_json_to_triples(df: DataFrame, url: str = "rdf-json") -> DataFrame:
     )
 
 
-def read_rdf_json(spark: SparkSession, path: str) -> DataFrame:
-    """Read a file of RDF/JSON triples (a JSON array, as the reference's
-    to_file(json=true) writes — turtle_doc.rs:450-481)."""
-    raw = spark.read.json(path, schema=RDF_JSON_SCHEMA, multiLine=True)
+def read_rdf_json(
+    spark: SparkSession, path: str, array: bool = True
+) -> DataFrame:
+    """Read RDF/JSON triples. ``array=True`` reads the reference's
+    to_file(json=true) layout — ONE file holding ONE JSON array
+    (turtle_doc.rs:450-481; written by serialize.write_rdf_json_array).
+    ``array=False`` reads the distributed JSON-lines layout written by
+    serialize.write_rdf_json (splittable, the 100-TB path)."""
+    raw = spark.read.json(path, schema=RDF_JSON_SCHEMA, multiLine=array)
     return rdf_json_to_triples(raw, url=path)

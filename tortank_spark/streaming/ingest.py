@@ -12,6 +12,14 @@ consumption of an append-only source. The Spark-native equivalents:
   replaces) the bucket-manifest resume model of pipeline.py.
 * ``stream_extract`` — the generic page-stream variant for a streaming
   page source (e.g. Kafka value -> url/text columns upstream).
+
+Delivery semantics: ``foreachBatch`` is at-least-once — a micro-batch
+retried after a crash between the sink write and the checkpoint commit
+re-runs the handler. The sink is therefore made idempotent by keying
+each batch to its own ``batch_id=N`` subdirectory and OVERWRITING it:
+a replayed batch rewrites identical data in place instead of appending
+duplicates, giving effective exactly-once output for deterministic
+transforms (the standard Spark idempotent-foreachBatch pattern).
 """
 
 from __future__ import annotations
@@ -34,7 +42,9 @@ def stream_extract(
 
     def handle(batch_df: DataFrame, batch_id: int):
         out = extract_triples(batch_df)
-        out.write.mode("append").parquet(out_path)
+        # idempotent on foreachBatch retry: a replayed batch_id
+        # overwrites its own directory rather than appending dups
+        out.write.mode("overwrite").parquet(f"{out_path}/batch_id={batch_id}")
 
     writer = (
         pages_stream.writeStream.foreachBatch(handle)
