@@ -189,8 +189,12 @@ def _q_count(spark, sf_dir):
 
 
 def _q_subject_group(spark, sf_dir):
+    """R9 through the shipped operator (algebra.subject_group_counts),
+    projected to the oracle's (s, n) shape."""
+    from tortank_spark.algebra import subject_group_counts
+
     t = _events_triples(spark, sf_dir)
-    return t.groupBy("s").agg(F.count("*").alias("n")).select("s", "n")
+    return subject_group_counts(t).select("s", "n")
 
 
 def _q_pricing_summary(spark, sf_dir):

@@ -113,7 +113,12 @@ def triples_only(extracted: DataFrame) -> DataFrame:
 def doc_metrics(pages: DataFrame, fixture_mode: bool = False) -> DataFrame:
     """Per-document lineage/metrics rows: parse status, triple count,
     byte-fidelity witness (sha1 of text) — the per-row invariant of
-    BASELINE.json input_hint is checked against this table."""
+    BASELINE.json input_hint is checked against this table.
+
+    Standalone auditing entry point ONLY: it re-parses every document.
+    A job that already runs extract_triples must derive its lineage
+    from those extraction rows instead (as pipeline._run_bucket does) —
+    calling both doubles the parse CPU for nothing."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

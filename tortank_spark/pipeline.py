@@ -58,16 +58,41 @@ def run_pipeline(
     out.mkdir(parents=True, exist_ok=True)
     t0 = time.time()
     done, ran = [], []
-    pages_b = pages.withColumn("_bucket", bucket_of(F.col("url"), n_buckets))
+    # Materialize the page table ONCE, hash-partitioned by bucket
+    # (partitionBy -> one directory per bucket). Each bucket job then
+    # scans exactly its own files. The round-1 design filtered the full
+    # source per bucket — at 1,024 buckets over 100 TB that cumulative
+    # rescan is ~100 PB; this layout makes per-bucket input IO
+    # O(total/n_buckets) and survives a source that is expensive or
+    # non-replayable. On a real lake this step is "write the landing
+    # table bucketed" (Iceberg bucket transform) and is itself resumable
+    # via the _SUCCESS marker.
+    pages_dir = out / "pages_bucketed"
+    if not (pages_dir / "_SUCCESS").exists():
+        (
+            pages.withColumn("_bucket", bucket_of(F.col("url"), n_buckets))
+            .write.mode("overwrite")
+            .partitionBy("_bucket")
+            .parquet(str(pages_dir))
+        )
     for b in range(n_buckets):
         bdir = out / f"bucket={b}"
         manifest = bdir / "_MANIFEST.json"
         if manifest.exists():
             done.append(b)
             continue
+        bpath = pages_dir / f"_bucket={b}"
+        if not bpath.exists():  # bucket got no pages: nothing to do
+            manifest.parent.mkdir(parents=True, exist_ok=True)
+            manifest.write_text(json.dumps(
+                {"docs": 0, "triples": 0, "parse_failures": 0}, indent=1
+            ))
+            ran.append(b)
+            continue
+        bucket_pages = spark.read.parquet(str(bpath))
         stats = _run_bucket(
             spark,
-            pages_b.filter(F.col("_bucket") == b).drop("_bucket"),
+            bucket_pages,
             str(bdir),
             alias_dict,
             min_link_score,
