@@ -445,6 +445,39 @@ def _q_lang_id(spark, sf_dir):
     return detect_language(docs).select("doc_id", "lang_pred")
 
 
+def _q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup (exact tier) — the synthetic vectors
+    carry no true near-dups (max pairwise cosine 0.513 at sf0.01), so
+    the driver row uses threshold 0.4 to produce a non-empty,
+    non-trivial pair set; the DuckDB oracle is exact."""
+    from tortank_spark.dedup import embedding_neardup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(emb, "vec_id", "embedding",
+                                   threshold=0.4)
+
+
+_ORACLE_EMB_NEARDUP = """
+SELECT a.vec_id AS a, b.vec_id AS b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6)
+           AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.4
+"""
+
+
+def _q_embedding_neardup_lsh(spark, sf_dir):
+    """Scale tier: multi-table LSH candidates + exact verify on
+    candidates only (rows-only: approximate recall by construction)."""
+    from tortank_spark.dedup import embedding_neardup_lsh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_neardup_lsh(emb, "vec_id", "embedding",
+                                 threshold=0.4)
+
+
 def _q_lsh_ann(spark, sf_dir):
     """Multi-table hyperplane-LSH ANN top-k (approximate -> rows-only;
     sim_lsh_recall below pins its quality against the exact path)."""
@@ -787,6 +820,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r10_add_prefixes": _q_add_prefixes,
         "stream_ingest": _q_stream_ingest,
         "dedup_minhash_verified": _q_minhash_verified,
+        "dedup_embedding": _q_embedding_neardup,
+        "dedup_embedding_lsh": _q_embedding_neardup_lsh,
         "sim_lsh_recall": _q_lsh_recall,
         "kg_connected_components": _q_connected_components,
         "kg_entity_link": _q_entity_link,
@@ -834,6 +869,8 @@ def oracle_sql() -> dict[str, str]:
         "r10_add_prefixes": _ORACLE_EXTRACT,
         "stream_ingest": _ORACLE_EXTRACT,
         "dedup_minhash_verified": _ORACLE_MINHASH_VERIFIED,
+        "dedup_embedding": _ORACLE_EMB_NEARDUP,
+        # dedup_embedding_lsh: approximate candidate set -> rows-only
         "sim_lsh_recall": (
             "SELECT 10 AS k, true AS recall_ok, true AS pruned"
         ),

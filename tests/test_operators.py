@@ -476,3 +476,31 @@ def test_ntriples_display_golden_bytes(spark):
     assert f'<a> <p> "2021-01-01"^^<{xsd}date>.' in lines
     assert f'<a> <p> """10:00:00"""^^<{xsd}time>.' in lines
     assert "_:b1 <p> <x>." in lines
+
+
+def test_embedding_neardup_exact_and_lsh(spark):
+    """Embedding-cosine near-dup tier: the exact path finds the planted
+    near-identical pair; the LSH path returns a subset of the exact
+    pairs and always contains the (near-)identical pair (identical
+    vectors share every bucket in every table)."""
+    import random
+
+    from tortank_spark.dedup import (
+        embedding_neardup_lsh, embedding_neardup_pairs,
+    )
+
+    rng = random.Random(3)
+    dim = 16
+    base = [rng.gauss(0, 1) for _ in range(dim)]
+    near = [x + rng.gauss(0, 0.01) for x in base]
+    rows = [(1, base), (2, near)] + [
+        (i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(3, 40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = {(r["a"], r["b"]) for r in
+             embedding_neardup_pairs(emb, threshold=0.95).collect()}
+    assert (1, 2) in exact
+    lsh = {(r["a"], r["b"]) for r in
+           embedding_neardup_lsh(emb, threshold=0.95).collect()}
+    assert (1, 2) in lsh
+    assert lsh <= exact

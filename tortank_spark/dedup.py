@@ -298,6 +298,102 @@ def _hamming64(x, y):
     return F.bit_count(x.bitwiseXOR(y))
 
 
+def embedding_neardup_pairs(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding-cosine near-dup, exact tier: all pairs (a < b) with
+    cosine >= threshold. Entirely JVM-side (zip_with/aggregate inside
+    whole-stage codegen). O(n^2) — the correctness baseline and the
+    DuckDB-oracle twin; use embedding_neardup_lsh as the scale path."""
+    from .similarity import _dot, _norm
+
+    v = F.col(vec_col).cast("array<double>")
+    a = emb.select(F.col(id_col).alias("a"), v.alias("_va"),
+                   _norm(v).alias("_na"))
+    b = emb.select(F.col(id_col).alias("b"), v.alias("_vb"),
+                   _norm(v).alias("_nb"))
+    cos = _dot(F.col("_va"), F.col("_vb")) / (
+        F.greatest(F.col("_na"), F.lit(1e-12))
+        * F.greatest(F.col("_nb"), F.lit(1e-12))
+    )
+    return (
+        a.join(b, F.col("a") < F.col("b"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def embedding_neardup_lsh(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    threshold: float = 0.9, n_bits: int = 8, n_tables: int = 12,
+) -> DataFrame:
+    """Embedding-cosine near-dup, scale tier: candidate pairs share a
+    hyperplane-LSH bucket in ANY of L tables (never a cross join —
+    the same band-join shape as MinHash-LSH), then the exact cosine
+    filter runs on candidates only. Collision probability per table is
+    (1 - theta/pi)^b, so recall at a given cosine is 1-(1-p^b)^L;
+    n_bits scales with log(n) to bound bucket population, n_tables is
+    the recall knob. Candidates are a strict subset of the brute-force
+    pairs (property-tested)."""
+    from .similarity import _table_planes
+
+    dim = len(emb.select(vec_col).first()[0])
+    planes = np.concatenate(
+        [_table_planes(dim, n_bits, t) for t in range(n_tables)], axis=0
+    )
+    weights = 1 << np.arange(n_bits, dtype=np.int64)
+    schema = StructType(
+        [
+            StructField(id_col, emb.schema[id_col].dataType, False),
+            StructField("key", LongType(), False),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mat = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col].values]
+            )
+            bits = (mat @ planes.T).reshape(len(mat), n_tables, n_bits) > 0
+            buckets = (bits.astype(np.int64) * weights).sum(axis=2)
+            # disjoint key space per table: key = table * 2^b + bucket
+            keys = buckets + (np.arange(n_tables, dtype=np.int64) << n_bits)
+            ids = np.repeat(pdf[id_col].values, n_tables)
+            yield pd.DataFrame({id_col: ids, "key": keys.ravel()})
+
+    banded = emb.select(id_col, vec_col).mapInPandas(gen, schema=schema)
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.key") == F.col("r.key"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"))
+        .distinct()
+    )
+    # exact cosine on CANDIDATES only (two hash joins + codegen math)
+    from .similarity import _dot, _norm
+
+    v = F.col(vec_col).cast("array<double>")
+    va = emb.select(F.col(id_col).alias("a"), v.alias("_va"),
+                    _norm(v).alias("_na"))
+    vb = emb.select(F.col(id_col).alias("b"), v.alias("_vb"),
+                    _norm(v).alias("_nb"))
+    cos = _dot(F.col("_va"), F.col("_vb")) / (
+        F.greatest(F.col("_na"), F.lit(1e-12))
+        * F.greatest(F.col("_nb"), F.lit(1e-12))
+    )
+    return (
+        cand.join(va, "a").join(vb, "b")
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame, pairs: DataFrame, id_col: str, text_col: str = "text",
     n: int = 3,
