@@ -277,6 +277,61 @@ def _q_quality(spark, sf_dir):
     )
 
 
+def _text_oracles() -> dict[str, str]:
+    """DuckDB twins for the text operators, generated from the SAME
+    stopword profiles the Spark UDFs use (tortank_spark.textops) so the
+    two sides cannot drift. Semantics pinned:
+    * quality: Spark array_intersect and DuckDB list_intersect both
+      return DISTINCT common elements; \\p{Punct} (Java) and [[:punct:]]
+      (RE2) are the same ASCII set.
+    * lang-id: best profile by distinct-stopword hits with
+      insertion-order tie-break (en,fr,de,es,nl) — the CASE ladder
+      below reproduces it exactly (an earlier language that ties the
+      max satisfies its >= row first).
+    """
+    from tortank_spark.textops import _LANG_PROFILES
+
+    def lst(lang):
+        return "[" + ", ".join(f"'{w}'" for w in sorted(_LANG_PROFILES[lang])) + "]"
+
+    toks = (r"list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),"
+            r" t -> t <> '')")
+    quality = f"""
+        WITH q AS (
+          SELECT doc_id,
+                 length(text) AS n_chars,
+                 CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                 END AS n_tokens,
+                 len(list_intersect(list_distinct({toks}), {lst("en")}))
+                     AS n_stop
+          FROM documents
+        )
+        SELECT doc_id, n_chars AS q_n_chars, n_tokens AS q_n_tokens,
+               round(n_stop::DOUBLE / greatest(n_tokens, 1), 6) AS q_stop
+        FROM q
+    """
+    counts = ",\n".join(
+        f"len(list_intersect(tk, {lst(lang)})) AS {lang}"
+        for lang in _LANG_PROFILES
+    )
+    langs = list(_LANG_PROFILES)  # insertion order = tie-break order
+    ladder = []
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(f"{lang} >= {o}" for o in langs[i + 1:])
+        ladder.append(f"WHEN {conds} THEN '{lang}'")
+    lang_id = f"""
+        WITH tk AS (SELECT doc_id, list_distinct({toks}) AS tk FROM documents),
+        n AS (SELECT doc_id, {counts} FROM tk)
+        SELECT doc_id,
+               CASE WHEN greatest({", ".join(langs)}) = 0 THEN 'und'
+                    {" ".join(ladder)}
+                    ELSE '{langs[-1]}' END AS lang_pred
+        FROM n
+    """
+    return {"text_quality": quality, "text_lang_id": lang_id}
+
+
 def _q_entity_link(spark, sf_dir):
     """Entity linking against a literal broadcast alias dictionary."""
     from tortank_spark.linking import detect_mentions, link_mentions
@@ -978,9 +1033,11 @@ def oracle_sql() -> dict[str, str]:
                      regexp_split_to_array(lower(trim(text)), '\\s+'), ' ')) AS fp
             FROM documents
         """,
-        # text_quality / text_lang_id / dedup_minhash_lsh / dedup_simhash /
-        # sim_lsh_ann / mm_features: no faithful ANSI-SQL twin (approximate
-        # or UDF-defined semantics) -> rows-only driver check.
+        **_text_oracles(),
+        # dedup_minhash_lsh / dedup_simhash / dedup_embedding_lsh /
+        # sim_lsh_ann / mm_features: approximate candidate sets or
+        # stubbed decoders -> rows-only driver check (their quality is
+        # pinned by dedup_minhash_verified / sim_lsh_recall / pytest).
         "events_windowed_agg": """
             SELECT date_trunc('hour', ts) AS win_start,
                    event_type,

@@ -255,14 +255,21 @@ class TurtleParser:
     # ---------- terms ----------
 
     def _enclosed_iri(self) -> str:
-        self._ws()
-        self._char("<")
-        end = self.s.find(">", self.i, self.n)
-        if end == -1:
+        # fully inlined ws-skip + '<' check: called once per IRI term
+        # (the single most-called scanner), so the two method calls it
+        # used to make were ~8% of parse time
+        s, i, n = self.s, self.i, self.n
+        while i < n and s[i] in " \t\r\n":
+            i += 1
+        if i >= n or s[i] != "<":
+            self.i = i
             raise _BT
-        iri = self.s[self.i : end]
+        end = s.find(">", i + 1, n)
+        if end == -1:
+            self.i = i
+            raise _BT
         self.i = end + 1
-        return iri
+        return s[i + 1 : end]
 
     def _prefixed_parts(self):
         """prefix = run of unicode alphanumerics (may be empty); ':';
@@ -291,7 +298,10 @@ class TurtleParser:
         # (empty prefix run would need ':' next), so this is equivalent
         # to the reference's prefixed-then-enclosed alternation
         # (triple_common_parser.rs:60-62) without the exception cost
-        self._ws()
+        s, i, n = self.s, self.i, self.n
+        while i < n and s[i] in " \t\r\n":  # inlined _ws (hot)
+            i += 1
+        self.i = i
         if self.i < self.n and self.s[self.i] == "<":
             return self._resolve_enclosed(self._enclosed_iri())
         save = self.i
@@ -378,27 +388,31 @@ class TurtleParser:
         (tag_no_space fallbacks). Then ^^datatype | @lang | implicit
         xsd:string (triple_common_parser.rs:231-258)."""
         self._ws()
-        s = self.s
+        s, i, n = self.s, self.i, self.n
         value = None
-        for q in ('"""', "'''"):
-            if s.startswith(q, self.i):
-                end = s.find(q, self.i + 3, self.n)
+        # dispatch on the quote char itself: the two families are
+        # disjoint on s[i], and long-vs-short needs only two more char
+        # compares (the alternative order of
+        # triple_common_parser.rs:192-228 is preserved because a
+        # long-quoted value can never parse as short — the short parse
+        # would see an empty string then fail to terminate)
+        if i < n and (s[i] == '"' or s[i] == "'"):
+            q = s[i]
+            if i + 2 < n and s[i + 1] == q and s[i + 2] == q:
+                q3 = q * 3
+                end = s.find(q3, i + 3, n)
                 if end != -1:
-                    value = s[self.i + 3 : end]
+                    value = s[i + 3 : end]
                     self.i = end + 3
-                    break
-        if value is None:
-            for q in ("'", '"'):
-                if not s.startswith(q, self.i):
-                    continue
+            if value is None:
                 save = self.i
-                self.i += 1
+                self.i = i + 1
                 v = self._escaped_string()
-                if self.i < self.n and s[self.i] == q:
+                if self.i < n and s[self.i] == q:
                     self.i += 1
                     value = v
-                    break
-                self.i = save
+                else:
+                    self.i = save
         if value is None:
             # raw fallbacks with tag_no_space: whitespace around the
             # delimiters is eaten, including leading whitespace *inside*
@@ -603,8 +617,10 @@ class TurtleParser:
         (prefixed name vs boolean/number), where the reference's
         iri-first order is preserved. Returns a deferred marker tuple
         consumed by _emit_statement/_collection."""
-        self._ws()
         s, i, n = self.s, self.i, self.n
+        while i < n and s[i] in " \t\r\n":  # inlined _ws (hot)
+            i += 1
+        self.i = i
         if i >= n:
             raise _BT
         c = s[i]
@@ -626,12 +642,14 @@ class TurtleParser:
                 self.i = save
                 raise
         # alphanumeric (or +/-/. numeric): reference order — prefixed
-        # name first, then literal
-        save = self.i
-        try:
+        # name first, then literal. A prefixed name is an alnum run
+        # followed by ':', so one lookahead decides the branch without
+        # paying a raised-exception round trip per numeric/boolean
+        # object (measurably hot: ~1/3 of objects in a realistic page)
+        m = _PFX_RE.match(s, i)
+        j = min(m.end(), n)  # n can be a restricted window (parse_term)
+        if j < n and s[j] == ":":
             return ("n", self._iri_resolved_prefixed_only())
-        except _Backtrack:
-            self.i = save
         return ("n", self._primitive_literal())
 
     def _iri_resolved_prefixed_only(self):
@@ -706,11 +724,18 @@ class TurtleParser:
 
     def _predicate(self) -> Node:
         """bare 'a' (followed by whitespace) -> rdf:type, else iri
-        (turtle_parser.rs:94-96; triple_common_parser.rs:304-310)."""
+        (turtle_parser.rs:94-96; triple_common_parser.rs:304-310).
+        Whitespace skipping is inlined here and in the two list loops
+        below: these are the hottest scan sites (~1/3 of all _ws time),
+        and a local char-class loop avoids ~150k method calls per 600
+        realistic pages."""
         save = self.i
-        self._ws()
-        if self.i < self.n and self.s[self.i] == "a":
-            m = _WS1_RE.match(self.s, self.i + 1)
+        s, i, n = self.s, self.i, self.n
+        while i < n and s[i] in " \t\r\n":
+            i += 1
+        self.i = i
+        if i < n and s[i] == "a":
+            m = _WS1_RE.match(s, i + 1)
             if m:
                 self.i = m.end()
                 return Node(IRI_K, RDF_TYPE)
@@ -721,12 +746,13 @@ class TurtleParser:
         """','-separated objects (deferred thunks)
         (triple_common_parser.rs:282-303)."""
         items = [self._object_deferred()]
+        s, n = self.s, self.n
         while True:
-            save = self.i
-            self._ws()
-            if self.i < self.n and self.s[self.i] == ",":
-                self.i += 1
-                self._ws()
+            save = i = self.i
+            while i < n and s[i] in " \t\r\n":
+                i += 1
+            if i < n and s[i] == ",":
+                self.i = i + 1
                 try:
                     items.append(self._object_deferred())
                     continue
@@ -740,11 +766,13 @@ class TurtleParser:
         """';'-separated (predicate, object-list) pairs; comments are
         allowed after ';' (triple_common_parser.rs:311-341)."""
         povs = [(self._predicate(), self._object_list())]
+        s, n = self.s, self.n
         while True:
-            save = self.i
-            self._ws()
-            if self.i < self.n and self.s[self.i] == ";":
-                self.i += 1
+            save = i = self.i
+            while i < n and s[i] in " \t\r\n":
+                i += 1
+            if i < n and s[i] == ";":
+                self.i = i + 1
                 self._comments()
                 try:
                     povs.append((self._predicate(), self._object_list()))
