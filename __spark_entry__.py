@@ -578,6 +578,37 @@ def _q_events_windowed(spark, sf_dir):
     )
 
 
+def _q_sessionize(spark, sf_dir):
+    """Event sessionization (30-min gap) via the built-in
+    session_window — identical semantics to the oracle's lag/cumsum
+    construction (break strictly greater than the gap)."""
+    from tortank_spark.events import sessionize_stats
+
+    ev = _t(spark, sf_dir, "events")
+    return sessionize_stats(ev.select("user_id", "ts", "value"))
+
+
+_ORACLE_SESSIONS = """
+WITH o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts, value,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sess
+  FROM o
+)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM s GROUP BY user_id, sess
+"""
+
+
 def _q_multimodal_features(spark, sf_dir):
     from tortank_spark.multimodal import extract_features, make_media_table
 
@@ -899,6 +930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": _q_lang_id,
         "sim_topk_cosine": _q_topk_cosine,
         "events_windowed_agg": _q_events_windowed,
+        "events_sessionize": _q_sessionize,
         "sim_lsh_ann": _q_lsh_ann,
         "mm_features": _q_multimodal_features,
     }
@@ -1038,6 +1070,7 @@ def oracle_sql() -> dict[str, str]:
         # sim_lsh_ann / mm_features: approximate candidate sets or
         # stubbed decoders -> rows-only driver check (their quality is
         # pinned by dedup_minhash_verified / sim_lsh_recall / pytest).
+        "events_sessionize": _ORACLE_SESSIONS,
         "events_windowed_agg": """
             SELECT date_trunc('hour', ts) AS win_start,
                    event_type,

@@ -1,0 +1,112 @@
+"""Physical-plan hygiene assertions — the 100-TB design contracts that
+correctness tests can't see. Each test pins a property of the plan
+Catalyst actually produces: column pruning reaching the scan, predicate
+pushdown, broadcast on the small join side, and no cartesian product in
+any bucketed candidate generator."""
+
+import pyspark.sql.functions as F
+import pytest
+
+
+def plan_of(df) -> str:
+    jqe = df._jdf.queryExecution()
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return jqe.explainString(mode)
+
+
+@pytest.fixture(scope="module")
+def pages_parquet(spark, tmp_path_factory):
+    from tortank_spark import fixtures
+
+    p = str(tmp_path_factory.mktemp("plans") / "pages")
+    fixtures.make_pages(spark, n_pages=64, n_partitions=2,
+                        include_broken=False).write.parquet(p)
+    return p
+
+
+def test_extraction_prunes_scan_to_url_text(spark, pages_parquet):
+    """The parse stage must read ONLY url+text from the page table —
+    html (binary, the fat column) stays untouched on disk."""
+    from tortank_spark.extract import extract_triples
+
+    pages = spark.read.parquet(pages_parquet)
+    plan = plan_of(extract_triples(pages))
+    scan = plan[plan.index("Scan parquet"):]
+    read_schema = scan[scan.index("ReadSchema"):].splitlines()[0]
+    assert "url" in read_schema and "text" in read_schema
+    assert "html" not in read_schema and "warc_ts" not in read_schema
+
+
+def test_pattern_filter_pushes_down(spark, pages_parquet):
+    """R1 equality predicates must reach the parquet scan as
+    PushedFilters, not run post-scan only."""
+    from tortank_spark.algebra import pattern_filter
+    from tortank_spark.extract import extract_triples, triples_only
+
+    pages = spark.read.parquet(pages_parquet)
+    t = triples_only(extract_triples(pages))
+    # write triples, re-read: the filter should push into THAT scan
+    import tempfile
+
+    d = tempfile.mkdtemp() + "/triples"
+    t.write.parquet(d)
+    stored = spark.read.parquet(d)
+    plan = plan_of(pattern_filter(stored, p="http://example.org/p"))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and "EqualTo(p," in pushed[0]
+
+
+def test_top_revenue_broadcasts_dim_side(spark):
+    """q3: the filtered customer dimension must broadcast (no shuffle
+    of the big fact side for that join)."""
+    import __spark_entry__ as m
+
+    df = m._q_top_revenue(spark, "/root/testdata/sf0.001")
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+
+
+@pytest.mark.parametrize("maker", ["minhash", "simhash", "embedding"])
+def test_candidate_generators_never_cross_join(spark, maker):
+    """Every near-dup candidate generator must be a bucketed equi-join;
+    a CartesianProduct or BroadcastNestedLoopJoin in the plan means the
+    operator silently degraded to all-pairs."""
+    from tortank_spark import dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} tok{i+1} tok{i+2} tok{i+3}") for i in range(8)],
+        "doc_id long, text string",
+    )
+    if maker == "minhash":
+        sigs = dedup.minhash_signatures(docs, "doc_id")
+        cand = dedup.lsh_candidate_pairs(sigs, "doc_id")
+    elif maker == "simhash":
+        sigs = dedup.simhash_signatures(docs, "doc_id")
+        cand = dedup.simhash_candidate_pairs(sigs, "doc_id")
+    else:
+        emb = spark.createDataFrame(
+            [(i, [float(i), 1.0, 0.5, float(i % 3)]) for i in range(8)],
+            "vec_id long, embedding array<double>",
+        )
+        cand = dedup.embedding_neardup_lsh(emb, threshold=0.99)
+    plan = plan_of(cand)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_union_dedup_single_shuffle(spark):
+    """R5 union+dedup: exactly one exchange (the dedup shuffle) — the
+    union itself must not add one."""
+    from tortank_spark.algebra import tt_union
+    from tests.test_operators import T1, T2, make_triples
+
+    import re
+
+    a, b = make_triples(spark, T1), make_triples(spark, T2)
+    plan = plan_of(tt_union(a, b))
+    # count Exchange NODES (the formatted detail section repeats each
+    # node header, so a raw substring count double-counts)
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchanges <= 1

@@ -1,0 +1,147 @@
+"""Event sessionization — the standard training-data / clickstream
+operator the brief's pipeline needs over the ``events`` table.
+
+Two implementations, both Spark-first:
+
+* ``sessionize_stats`` — batch (and streaming, with a watermark) via
+  the built-in ``F.session_window``: entirely JVM-side, one shuffle on
+  the grouping key, AQE-coalesced. Semantics: events of one user merge
+  into a session while consecutive gaps are <= gap (probed: an event
+  exactly ``gap`` after the previous one MERGES; the break condition
+  is strictly greater) — identical to the SQL lag/cumsum construction
+  the DuckDB oracle uses.
+* ``sessionize_stateful`` — the custom-stateful-streaming variant with
+  ``applyInPandasWithState`` (the reference engine has no streaming at
+  all — SURVEY.md §2.4 — so this is graft-mandated, not ported): state
+  per user holds the open session; closed sessions are emitted when a
+  gap break arrives, and the open session flushes on event-time
+  timeout. Demonstrates the harness for operators session_window can't
+  express (e.g. value-dependent gaps).
+
+Scale: both shapes shuffle once on user_id; a hot user (bot traffic)
+concentrates one key — AQE skew-join does not help groupBy state, so
+the stateful variant should be fed pre-filtered (rate-capped) keys at
+web scale; session_window aggregation is partial-aggregated map-side.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+
+def sessionize_stats(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-session stats: (user, session_start, session_end, n_events,
+    sum_value). session_start/end are min/max event time (the oracle's
+    definition), not the session_window bounds (whose end is
+    last_event + gap)."""
+    return (
+        events.groupBy(user_col, F.session_window(F.col(ts_col), gap))
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum(value_col), 4).alias("sum_value"),
+        )
+        .select(user_col, "session_start", "session_end", "n_events",
+                "sum_value")
+    )
+
+
+_SESSION_OUT_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events long, sum_value double"
+)
+_SESSION_STATE_SCHEMA = (
+    "start long, last long, n long, total double"
+)
+
+
+def _session_update(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+    """applyInPandasWithState update function: fold this micro-batch's
+    events (sorted by event time) into the open session, emitting every
+    session that a gap break closes; flush the open session when the
+    event-time timeout fires."""
+    import datetime as _dt
+
+    gap_s = 30 * 60
+
+    def row(start, last, n, total):
+        return {
+            "user_id": key[0],
+            "session_start": _dt.datetime.utcfromtimestamp(start),
+            "session_end": _dt.datetime.utcfromtimestamp(last),
+            "n_events": n,
+            "sum_value": round(total, 4),
+        }
+
+    if state.hasTimedOut:
+        if state.exists:
+            start, last, n, total = state.get
+            state.remove()
+            yield pd.DataFrame([row(start, last, n, total)])
+        return
+
+    ev = pd.concat(list(pdfs))
+    ev = ev.sort_values("ts")
+    ts = ev["ts"].astype("int64").to_numpy() / 1e9
+    vals = ev["value"].to_numpy()
+
+    closed = []
+    if state.exists:
+        start, last, n, total = state.get
+        start, last = float(start), float(last)
+    else:
+        start = last = 0.0
+        n, total = 0, 0.0
+    for t, v in zip(ts, vals):
+        t = float(t)
+        if n > 0 and t - last > gap_s:
+            closed.append(row(start, last, n, total))
+            n, total = 0, 0.0
+        if n == 0:
+            start = last = t
+        else:
+            # late-but-in-watermark events may precede the open span
+            start = min(start, t)
+            last = max(last, t)
+        n += 1
+        total += float(v)
+    state.update((int(start), int(last), int(n), float(total)))
+    # flush the open session if no event arrives within the gap
+    state.setTimeoutTimestamp(int((last + gap_s) * 1000))
+    if closed:
+        yield pd.DataFrame(closed)
+
+
+def sessionize_stateful(
+    events_stream: DataFrame,
+    watermark_delay: str = "1 minute",
+) -> DataFrame:
+    """Streaming sessionization with applyInPandasWithState over
+    (user_id, ts, value). Closed sessions are emitted as gap breaks
+    arrive; open sessions flush on event-time timeout (watermark-driven,
+    so late data within the delay still joins its session)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        events_stream.withWatermark("ts", watermark_delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_update,
+            outputStructType=_SESSION_OUT_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
