@@ -892,6 +892,22 @@ def _full_oracle_sql() -> str:
     return "\nUNION ALL\n".join(selects)
 
 
+def _q_mm_resize(spark, sf_dir):
+    from tortank_spark.multimodal import make_media_table, resize_images
+
+    return resize_images(make_media_table(spark, n=32)).select(
+        "content_sha256", "out_width", "out_height", "decode_ok"
+    )
+
+
+def _q_mm_frames(spark, sf_dir):
+    from tortank_spark.multimodal import make_media_table, sample_frames
+
+    return sample_frames(make_media_table(spark, n=32)).select(
+        "content_sha256", "frame_idx", "frame_ts_ms", "decode_ok"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_extract_turtle": _q_extract_turtle,
@@ -933,6 +949,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _q_sessionize,
         "sim_lsh_ann": _q_lsh_ann,
         "mm_features": _q_multimodal_features,
+        "mm_resize": _q_mm_resize,
+        "mm_frames": _q_mm_frames,
     }
 
 

@@ -504,3 +504,40 @@ def test_embedding_neardup_exact_and_lsh(spark):
            embedding_neardup_lsh(emb, threshold=0.95).collect()}
     assert (1, 2) in lsh
     assert lsh <= exact
+
+
+def test_multimodal_resize_and_frame_sample(spark):
+    """Resize + frame-sample plumbing: schemas, fan-out shape, skip and
+    determinism (decode stubbed — no codec libs in this container)."""
+    from tortank_spark.multimodal import (
+        make_media_table, resize_images, sample_frames,
+    )
+
+    media = make_media_table(spark, n=9)
+    rs = resize_images(media, width=8, height=4).collect()
+    assert len(rs) == 9
+    imgs = [r for r in rs if r["decode_ok"] == "stubbed"]
+    assert len(imgs) == 3  # one third of kinds are images
+    assert all(len(r["resized"]) == 8 * 4 for r in imgs)
+    assert all(r["decode_ok"] == "skipped" for r in rs
+               if r not in imgs)
+
+    fr = sample_frames(media, every_ms=1000).collect()
+    # videos are i % 3 == 2 -> durations 3000, 6000, 9000 ms
+    assert {r["content_sha256"] for r in fr} == {
+        r["content_sha256"] for r in media.filter(
+            media.media_type == "video").collect()
+    }
+    per = {}
+    for r in fr:
+        per.setdefault(r["content_sha256"], []).append(r["frame_ts_ms"])
+    assert sorted(len(v) for v in per.values()) == [3, 6, 9]
+    for v in per.values():
+        assert sorted(v) == list(range(0, 1000 * len(v), 1000))
+    # deterministic across runs
+    fr2 = sample_frames(media, every_ms=1000).collect()
+    assert {(r["content_sha256"], r["frame_idx"], bytes(r["frame"]))
+            for r in fr} == {
+        (r["content_sha256"], r["frame_idx"], bytes(r["frame"]))
+        for r in fr2
+    }

@@ -166,3 +166,68 @@ def test_sessionize_stateful_stream(spark, tmp_path):
         for r in sessionize_stats(all_events).collect()
     }
     assert got <= all_batch
+
+
+def test_streaming_windowed_agg_with_watermark(spark, tmp_path):
+    """§2.4: the batch windowed aggregation run as a real stream —
+    readStream + withWatermark + tumbling window, availableNow drain;
+    the result must equal the batch F.window aggregation (late data
+    beyond the watermark would be dropped; here all data is in order
+    so the two agree exactly)."""
+    import pyspark.sql.functions as F
+
+    ind = tmp_path / "ev"
+    ind.mkdir()
+    rows = [
+        (1, "click", "2024-01-01 00:05:00", 1.0),
+        (2, "view", "2024-01-01 00:25:00", 2.0),
+        (1, "click", "2024-01-01 01:05:00", 4.0),
+        (3, "view", "2024-01-01 01:45:00", 8.0),
+        (1, "click", "2024-01-01 03:05:00", 16.0),  # advances watermark
+    ]
+    schema = "user_id long, event_type string, ts timestamp, value double"
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts_s string, value double"
+    ).selectExpr("user_id", "event_type", "CAST(ts_s AS timestamp) AS ts",
+                 "value")
+    df.coalesce(1).write.mode("overwrite").parquet(str(ind / "a"))
+
+    def windowed(d):
+        w = F.window(F.col("ts"), "1 hour")
+        return d.groupBy(w, F.col("event_type")).agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        ).select(
+            F.col("window.start").alias("win_start"), "event_type",
+            "n_events", "sum_value",
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(str(ind) + "/*")
+        .withWatermark("ts", "10 minutes")
+    )
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        windowed(stream)
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (str(r["win_start"]), r["event_type"], r["n_events"], r["sum_value"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    want = {
+        (str(r["win_start"]), r["event_type"], r["n_events"], r["sum_value"])
+        for r in windowed(df).collect()
+    }
+    # append mode only emits windows the watermark has closed: every
+    # emitted window matches batch, and all closed windows are present
+    assert got <= want
+    closed = {w for w in want if w[0] < "2024-01-01 02:55:00"}
+    assert closed <= got

@@ -113,6 +113,104 @@ def extract_features(media: DataFrame) -> DataFrame:
     )
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("content_sha256", StringType(), False),
+        StructField("out_width", LongType(), False),
+        StructField("out_height", LongType(), False),
+        StructField("resized", BinaryType(), True),
+        StructField("decode_ok", StringType(), False),
+    ]
+)
+
+
+def _stub_resize(blob: bytes, w: int, h: int) -> bytes:
+    """STUB resize: deterministic byte surrogate of a (w, h) raster —
+    real deployments register a PIL/pyvips resize here. Output length
+    w*h so batch-memory accounting in tests is realistic."""
+    seed = hashlib.sha256((blob or b"") + f"{w}x{h}".encode()).digest()
+    reps = (w * h) // len(seed) + 1
+    return (seed * reps)[: w * h]
+
+
+def resize_images(media: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+    """Image resize over mapInPandas: (hash, bytes) -> (hash, resized
+    raster). Plumbing (schema, pruned input, per-batch loop, error
+    rows) is real; the raster math is stubbed (no codec libs here)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for sha, mt, blob in zip(
+                pdf["content_sha256"].values,
+                pdf["media_type"].values,
+                pdf["content"].values,
+            ):
+                if mt != "image":
+                    rows.append((sha, width, height, None, "skipped"))
+                    continue
+                try:
+                    out = _stub_resize(
+                        bytes(blob) if blob is not None else b"", width, height
+                    )
+                    rows.append((sha, width, height, bytearray(out), "stubbed"))
+                except Exception:
+                    rows.append((sha, width, height, None, "error"))
+            yield pd.DataFrame(
+                rows,
+                columns=["content_sha256", "out_width", "out_height",
+                         "resized", "decode_ok"],
+            )
+
+    return media.select("content_sha256", "media_type", "content").mapInPandas(
+        gen, schema=RESIZED_SCHEMA
+    )
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("content_sha256", StringType(), False),
+        StructField("frame_idx", LongType(), False),
+        StructField("frame_ts_ms", LongType(), False),
+        StructField("frame", BinaryType(), True),
+        StructField("decode_ok", StringType(), False),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame sampling over mapInPandas: one output row per
+    sampled timestamp (explode happens INSIDE the pandas stage so the
+    multi-MB source blob crosses Arrow once, not once per frame). Frame
+    decode is stubbed; the fan-out shape, metadata pruning and
+    timestamp arithmetic are real."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for sha, mt, blob, dur in zip(
+                pdf["content_sha256"].values,
+                pdf["media_type"].values,
+                pdf["content"].values,
+                pdf["meta_duration_ms"].values,
+            ):
+                if mt != "video" or dur is None:
+                    continue
+                b = bytes(blob) if blob is not None else b""
+                for idx, ts in enumerate(range(0, int(dur), every_ms)):
+                    frame = hashlib.sha256(b + ts.to_bytes(8, "little")).digest()
+                    rows.append((sha, idx, ts, bytearray(frame), "stubbed"))
+            yield pd.DataFrame(
+                rows,
+                columns=["content_sha256", "frame_idx", "frame_ts_ms",
+                         "frame", "decode_ok"],
+            )
+
+    return media.select(
+        "content_sha256", "media_type", "content", "meta_duration_ms"
+    ).mapInPandas(gen, schema=FRAME_SCHEMA)
+
+
 def make_media_table(spark, n: int = 32) -> DataFrame:
     """Deterministic fake media rows for tests (bytes derived from the
     index; no external data)."""
