@@ -92,12 +92,6 @@ def connected_components(
     of the component. Alternates large-star/small-star to a fixpoint
     (validated against union-find on randomized graphs in
     tests/test_operators.py)."""
-    cur = _orient(edges).localCheckpoint(eager=True)
-    if cur.isEmpty():
-        return edges.sparkSession.createDataFrame(
-            [], "iri string, canonical string"
-        )
-
     def _sig(df):
         # set signature: (count, order-independent xor of row hashes).
         # Both edge sets are distinct-ified, so equal signatures mean
@@ -110,9 +104,18 @@ def connected_components(
         ).collect()[0]
         return row["n"], row["x"]
 
+    # LAZY localCheckpoint: the signature aggregate is the action that
+    # materializes it, so each round costs ONE Spark job, not two (the
+    # checkpoint still truncates lineage — without it the iterative
+    # plan grows exponentially and kills the driver at analysis time)
+    cur = _orient(edges).localCheckpoint(eager=False)
     cur_sig = _sig(cur)
+    if cur_sig[0] == 0:
+        return edges.sparkSession.createDataFrame(
+            [], "iri string, canonical string"
+        )
     for _ in range(max_rounds):
-        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=False)
         nxt_sig = _sig(nxt)
         cur = nxt
         if nxt_sig == cur_sig:
