@@ -231,3 +231,44 @@ def test_streaming_windowed_agg_with_watermark(spark, tmp_path):
     assert got <= want
     closed = {w for w in want if w[0] < "2024-01-01 02:55:00"}
     assert closed <= got
+
+
+def test_sessionize_random_vs_python_reference(spark):
+    """Property check on seeded random events: session_window output ==
+    a pure-Python gap sessionizer (break iff gap > 30 min)."""
+    import random
+    from datetime import datetime, timedelta
+
+    from tortank_spark.events import sessionize_stats
+
+    rng = random.Random(7)
+    base = datetime(2024, 1, 1)
+    rows = []
+    for uid in range(6):
+        t = base
+        for _ in range(rng.randint(1, 40)):
+            t = t + timedelta(minutes=rng.choice([1, 5, 29, 30, 31, 120]))
+            rows.append((uid, t, float(rng.randint(1, 9))))
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+
+    want = set()
+    by_user = {}
+    for uid, t, v in sorted(rows, key=lambda r: (r[0], r[1])):
+        by_user.setdefault(uid, []).append((t, v))
+    for uid, evs in by_user.items():
+        cur = [evs[0]]
+        for e in evs[1:]:
+            if (e[0] - cur[-1][0]).total_seconds() > 30 * 60:
+                want.add((uid, str(cur[0][0]), str(cur[-1][0]), len(cur),
+                          round(sum(x[1] for x in cur), 4)))
+                cur = []
+            cur.append(e)
+        want.add((uid, str(cur[0][0]), str(cur[-1][0]), len(cur),
+                  round(sum(x[1] for x in cur), 4)))
+
+    got = {
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]),
+         r["n_events"], r["sum_value"])
+        for r in sessionize_stats(ev).collect()
+    }
+    assert got == want
