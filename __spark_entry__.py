@@ -704,6 +704,30 @@ FROM nation
 """
 
 
+def _q_turtle_pretty(spark, sf_dir):
+    """S8 as_turtle blocks (turtle_doc.rs:1330-1381) on the nation
+    triples: subject in Display form, predicates compacted against the
+    built-in table and sorted (the reference iterates a HashMap, i.e.
+    unspecified order), xsd:string datatype dropped but Display quoting
+    kept, integers bare."""
+    from tortank_spark.serialize import to_turtle_pretty
+
+    return to_turtle_pretty(_nation_triples(spark, sf_dir)).select(
+        F.col("value").alias("block")
+    )
+
+
+# the predicate namespace is http://example.org/ns#, and PREFIX_OR_NONE
+# compacts by substring REPLACE (turtle_doc.rs:106-123), so ex: eats
+# only the http://example.org/ part -> 'ex:ns#name'
+_ORACLE_TURTLE_PRETTY = f"""
+SELECT '<{EX}nation/' || n_nationkey || '> ex:ns#name \"\"\"' || n_name
+       || '\"\"\";' || chr(10) || chr(9) || 'ex:ns#regionkey ' || n_regionkey
+       || '.' AS block
+FROM nation
+"""
+
+
 def _q_add_statement(spark, sf_dir):
     """R6 add_statement (turtle_doc.rs:284-293): insert one new triple
     (kept) and one duplicate (dropped) into the click bag."""
@@ -917,6 +941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s3_src_ntriples": _q_src_ntriples,
         "s4_src_rdfjson": _q_src_rdfjson,
         "s6_sink_ntriples": _q_sink_ntriples,
+        "s8_turtle_pretty": _q_turtle_pretty,
         "s9_sink_rdfjson": _q_sink_rdfjson,
         "r6_add_statement": _q_add_statement,
         "r10_add_prefixes": _q_add_prefixes,
@@ -963,6 +988,7 @@ def oracle_sql() -> dict[str, str]:
         "s3_src_ntriples": _ORACLE_EXTRACT,
         "s4_src_rdfjson": _ORACLE_EXTRACT,
         "s6_sink_ntriples": _ORACLE_NTRIPLES,
+        "s8_turtle_pretty": _ORACLE_TURTLE_PRETTY,
         "s9_sink_rdfjson": _ORACLE_SINK_RDFJSON,
         "r6_add_statement": """
             SELECT DISTINCT 'urn:user:' || user_id AS s, 'urn:did' AS p,
