@@ -562,6 +562,21 @@ def _q_lsh_recall(spark, sf_dir):
     )
 
 
+def _q_ivf_ann(spark, sf_dir):
+    """IVF ANN top-k (coarse k-means quantizer trained on a sample,
+    probe the nearest lists, re-rank exact). Approximate -> rows-only;
+    semantics pinned by test_ivf_ann_planted_clusters (exact recovery
+    on clustered data; full-probe == exact on any data)."""
+    from tortank_spark.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return ivf_topk(
+        emb.filter(F.col("vec_id") != 0), "embedding",
+        [float(x) for x in q], k=10, n_centroids=16, n_probes=4
+    )
+
+
 def _q_events_windowed(spark, sf_dir):
     """Event-time tumbling-window aggregation (the batch shape of the
     Structured-Streaming windowed pipeline; F.window is identical in
@@ -973,6 +988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed_agg": _q_events_windowed,
         "events_sessionize": _q_sessionize,
         "sim_lsh_ann": _q_lsh_ann,
+        "sim_ivf_ann": _q_ivf_ann,
         "mm_features": _q_multimodal_features,
         "mm_resize": _q_mm_resize,
         "mm_frames": _q_mm_frames,

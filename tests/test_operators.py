@@ -541,3 +541,34 @@ def test_multimodal_resize_and_frame_sample(spark):
         (r["content_sha256"], r["frame_idx"], bytes(r["frame"]))
         for r in fr2
     }
+
+
+def test_ivf_ann_planted_clusters(spark):
+    """IVF coarse quantizer: on clustered data the query's list holds
+    its true neighbors, so probing 2/8 lists recovers the exact top-k;
+    full-probe degenerates to exact on any data."""
+    import random
+
+    from tortank_spark.similarity import ivf_topk, kmeans_centroids, topk_cosine
+
+    rng = random.Random(5)
+    dim, rows = 8, []
+    centers = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(4)]
+    vid = 0
+    for c in centers:
+        for _ in range(25):
+            rows.append((vid, [x + rng.gauss(0, 0.05) for x in c]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    query = [x + 0.01 for x in centers[2]]
+    exact = [r["vec_id"] for r in topk_cosine(emb, "embedding", query, 5).collect()]
+    cents = kmeans_centroids(emb, "embedding", n_centroids=8, sample_rows=100)
+    approx = [r["vec_id"] for r in ivf_topk(
+        emb, "embedding", query, 5, n_centroids=8, n_probes=2,
+        centroids=cents).collect()]
+    assert approx == exact
+    # probing every list is exact on ANY data
+    full = [r["vec_id"] for r in ivf_topk(
+        emb, "embedding", query, 5, n_centroids=8, n_probes=8,
+        centroids=cents).collect()]
+    assert full == exact

@@ -110,3 +110,54 @@ def test_union_dedup_single_shuffle(spark):
     # node header, so a raw substring count double-counts)
     n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
     assert n_exchanges <= 1
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path_factory):
+    """Co-located join: two tables bucketed on the join key by the same
+    bucket count must SortMergeJoin with ZERO Exchange operators — the
+    layout replaces the shuffle (the task's 'bucketing for co-located
+    joins' requirement, proven at the plan level)."""
+    import re
+
+    from tortank_spark.storage import read_table, write_bucketed
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.range(0, 1000).select(
+            F.col("id").alias("s"), (F.col("id") % 7).alias("x")
+        )
+        b = spark.range(0, 1000).select(
+            F.col("id").alias("s"), (F.col("id") % 5).alias("y")
+        )
+        write_bucketed(a, "t_bucket_a", ["s"], n_buckets=8, sort_cols=["s"])
+        write_bucketed(b, "t_bucket_b", ["s"], n_buckets=8, sort_cols=["s"])
+        j = read_table(spark, "t_bucket_a").join(
+            read_table(spark, "t_bucket_b"), "s"
+        )
+        plan = plan_of(j)
+        assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 0
+        assert "SortMergeJoin" in plan
+        assert j.count() == 1000
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS t_bucket_a")
+        spark.sql("DROP TABLE IF EXISTS t_bucket_b")
+
+
+def test_salted_join_matches_plain_join_on_skewed_key(spark):
+    """salted_join == plain join on a zipf-skewed key (one key holds
+    half the rows), with the salt column dropped from the output."""
+    from tortank_spark.storage import salted_join
+
+    big_rows = [("hot", i) for i in range(500)] + [
+        (f"k{i % 37}", i) for i in range(500)
+    ]
+    big = spark.createDataFrame(big_rows, "key string, payload long")
+    small = spark.createDataFrame(
+        [("hot", "H")] + [(f"k{i}", f"V{i}") for i in range(37)],
+        "key string, label string",
+    )
+    got = salted_join(big, small, "key").collect()
+    want = big.join(small, "key").collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert set(got[0].asDict()) == {"key", "payload", "label"}

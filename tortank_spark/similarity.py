@@ -220,3 +220,82 @@ def ann_recall_report(
         [(k, recall >= recall_floor, n_cand < scan_ceiling * n_all)],
         "k int, recall_ok boolean, pruned boolean",
     )
+
+
+# ------------------------------------------------------------- IVF ---
+
+def kmeans_centroids(
+    df: DataFrame, vec_col: str, n_centroids: int = 16,
+    sample_rows: int = 4096, iters: int = 12, seed: int = 11,
+) -> np.ndarray:
+    """Driver-side Lloyd k-means on a deterministic sample — the coarse
+    quantizer of an IVF index. The sample is tiny (the quantizer needs
+    only the broad geometry), the loop is numpy; at 10^9+ vectors this
+    is exactly how IVF training works in practice (train on a sample,
+    assign everything). Deterministic: seeded init, fixed iteration
+    count, ties broken by lowest centroid id (argmin)."""
+    sample = np.stack([
+        np.asarray(r[0], dtype=np.float64)
+        for r in df.select(vec_col).limit(sample_rows).collect()
+    ])
+    rng = np.random.RandomState(seed)
+    cent = sample[rng.choice(len(sample), size=n_centroids, replace=False)]
+    for _ in range(iters):
+        d = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(n_centroids):
+            m = assign == c
+            if m.any():
+                cent[c] = sample[m].mean(axis=0)
+    return cent
+
+
+def ivf_assign(
+    df: DataFrame, vec_col: str, centroids: np.ndarray,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, list_id): nearest-centroid assignment, one matmul per Arrow
+    batch. At scale list_id is the partition/bucket key of the vector
+    table, so a probe is a partition-pruned scan."""
+    cent = centroids.astype(np.float64)
+    cnorm = (cent ** 2).sum(axis=1)
+    schema = StructType(
+        [
+            StructField(id_col, df.schema[id_col].dataType, False),
+            StructField("list_id", LongType(), False),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mat = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col].values]
+            )
+            # argmin ||x-c||^2 = argmin (||c||^2 - 2 x.c)
+            d = cnorm[None, :] - 2.0 * (mat @ cent.T)
+            yield pd.DataFrame({
+                id_col: pdf[id_col].values,
+                "list_id": d.argmin(axis=1),
+            })
+
+    return df.select(id_col, vec_col).mapInPandas(gen, schema=schema)
+
+
+def ivf_topk(
+    df: DataFrame, vec_col: str, query: list, k: int = 10,
+    n_centroids: int = 16, n_probes: int = 4, id_col: str = "vec_id",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: probe the ``n_probes`` inverted lists
+    whose centroids are nearest the query, re-rank candidates with the
+    exact scorer. Scan fraction ~ n_probes/n_centroids; recall rises
+    with n_probes (n_probes = n_centroids degenerates to exact)."""
+    if centroids is None:
+        centroids = kmeans_centroids(df, vec_col, n_centroids)
+    q = np.asarray(query, dtype=np.float64)
+    d = ((centroids - q[None, :]) ** 2).sum(axis=1)
+    probe_lists = [int(x) for x in d.argsort()[:n_probes]]
+    assigned = ivf_assign(df, vec_col, centroids, id_col)
+    cand = assigned.filter(F.col("list_id").isin(probe_lists)).select(id_col)
+    return topk_cosine(df.join(cand, id_col, "left_semi"), vec_col, query,
+                       k, id_col)
