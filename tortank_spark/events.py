@@ -62,8 +62,10 @@ _SESSION_OUT_SCHEMA = (
     "user_id long, session_start timestamp, session_end timestamp, "
     "n_events long, sum_value double"
 )
+# start/last are epoch SECONDS as doubles — a long would truncate
+# sub-second event times and drift from the batch operator
 _SESSION_STATE_SCHEMA = (
-    "start long, last long, n long, total double"
+    "start double, last double, n long, total double"
 )
 
 
@@ -117,7 +119,7 @@ def _session_update(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.Dat
             last = max(last, t)
         n += 1
         total += float(v)
-    state.update((int(start), int(last), int(n), float(total)))
+    state.update((float(start), float(last), int(n), float(total)))
     # flush the open session if no event arrives within the gap
     state.setTimeoutTimestamp(int((last + gap_s) * 1000))
     if closed:
