@@ -805,11 +805,11 @@ def _q_skolemize(spark, sf_dir):
 
 
 _ORACLE_SKOLEM = f"""
-SELECT '{EX}.well-known/genid#1' AS s, 'iri' AS s_kind,
+SELECT '{EX}.well-known/genid#~1' AS s, 'iri' AS s_kind,
        '{EX}ns#describes' AS p, '{EX}nation/' || n_nationkey AS o
 FROM nation
 UNION ALL
-SELECT '{EX}.well-known/genid#1' AS s, 'iri' AS s_kind,
+SELECT '{EX}.well-known/genid#~1' AS s, 'iri' AS s_kind,
        '{EX}ns#label' AS p, n_name AS o
 FROM nation
 """

@@ -271,7 +271,7 @@ def test_skolemization_well_known_prefix():
         text, well_known_prefix=DEFAULT_WELL_KNOWN_PREFIX
     )
     assert err is None
-    gen1 = DEFAULT_WELL_KNOWN_PREFIX + "1"
+    gen1 = DEFAULT_WELL_KNOWN_PREFIX + "~1"
     genx = DEFAULT_WELL_KNOWN_PREFIX + "x"
     got = {(t[0], t[1], t[2], t[3], t[4]) for t in triples}
     assert (gen1, "iri", "q", "v", "literal") in got
@@ -281,6 +281,16 @@ def test_skolemization_well_known_prefix():
     plain, err2 = parse_document(text)
     assert err2 is None
     assert {t[1] for t in plain} == {"bnode", "iri"}
+    # a labeled bnode '_:1' must NOT conflate with the first anon node:
+    # the anon skolem form embeds '~', which labels cannot contain
+    both = '_:1 <p> "lab" .\n[] <q> "anon" .'
+    skolem, err3 = parse_document(
+        both, well_known_prefix=DEFAULT_WELL_KNOWN_PREFIX
+    )
+    assert err3 is None
+    subs = {t[0] for t in skolem}
+    assert subs == {DEFAULT_WELL_KNOWN_PREFIX + "1",
+                    DEFAULT_WELL_KNOWN_PREFIX + "~1"}
 
 
 def test_seed_prefixes_external_map():

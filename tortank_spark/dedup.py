@@ -81,21 +81,21 @@ def _shingle_hashes(toks: list, k: int, vocab: dict) -> np.ndarray:
     per-shingle Python hashing (the round-1 hot spot)."""
     if not toks:
         return np.empty(0, dtype=np.uint64)
-    np.seterr(over="ignore")  # uint64 wraparound IS the hash
     th = np.fromiter(
         (vocab.setdefault(t, _hash64(t)) for t in toks),
         dtype=np.uint64, count=len(toks),
     )
-    if len(toks) < k:
-        acc = np.uint64(0x9E3779B97F4A7C15)
-        for i, h in enumerate(th):
-            acc = acc * _POLY[i % 3] + h  # uint64 wraparound is the hash
-        return np.array([acc], dtype=np.uint64)
-    n = len(toks) - k + 1
-    acc = np.zeros(n, dtype=np.uint64)
-    for j in range(k):
-        acc = acc * _POLY[j % 3] + th[j : j + n]
-    return np.unique(acc)
+    with np.errstate(over="ignore"):  # uint64 wraparound IS the hash
+        if len(toks) < k:
+            acc = np.uint64(0x9E3779B97F4A7C15)
+            for i, h in enumerate(th):
+                acc = acc * _POLY[i % 3] + h
+            return np.array([acc], dtype=np.uint64)
+        n = len(toks) - k + 1
+        acc = np.zeros(n, dtype=np.uint64)
+        for j in range(k):
+            acc = acc * _POLY[j % 3] + th[j : j + n]
+        return np.unique(acc)
 
 
 def minhash_signatures(
@@ -118,6 +118,8 @@ def minhash_signatures(
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         vocab: dict = {}
         for pdf in batches:
+            if len(vocab) > 1_000_000:
+                vocab.clear()  # bound the per-task cache on huge vocabularies
             out_ids, out_sigs = [], []
             for did, text in zip(pdf[id_col].values, pdf[text_col].values):
                 toks = [t for t in _TOKEN_RE.split((text or "").lower().strip())
@@ -268,10 +270,14 @@ def simhash_candidate_pairs(
         )
 
     keys = [
-        # combo id in the top bits keeps bands disjoint in one column
+        # combo id in the top bits keeps bands disjoint in one column.
+        # The cid shift is folded in PYTHON: F.shiftleft(F.lit(cid), 54)
+        # shifts a 32-bit int literal, and Spark's shiftleft wraps the
+        # shift amount mod 32 (54 -> 22), which would overlap block(k)'s
+        # field and merge bands
         (block(i) + F.shiftleft(block(j), 11)
          + F.shiftleft(block(k), 22)
-         + F.shiftleft(F.lit(cid), 54)).cast("long")
+         + F.lit(cid << 54)).cast("long")
         for cid, (i, j, k) in enumerate(_SIMHASH_COMBOS)
     ]
     banded = sigs.select(
@@ -298,14 +304,9 @@ def _hamming64(x, y):
     return F.bit_count(x.bitwiseXOR(y))
 
 
-def embedding_neardup_pairs(
-    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
-    threshold: float = 0.9,
-) -> DataFrame:
-    """Embedding-cosine near-dup, exact tier: all pairs (a < b) with
-    cosine >= threshold. Entirely JVM-side (zip_with/aggregate inside
-    whole-stage codegen). O(n^2) — the correctness baseline and the
-    DuckDB-oracle twin; use embedding_neardup_lsh as the scale path."""
+def _cosine_pair_sides(emb: DataFrame, id_col: str, vec_col: str):
+    """(a-side, b-side, cosine expr) shared by the exact and LSH tiers —
+    keeps the norm-guard and rounding rules in exactly one place."""
     from .similarity import _dot, _norm
 
     v = F.col(vec_col).cast("array<double>")
@@ -317,6 +318,18 @@ def embedding_neardup_pairs(
         F.greatest(F.col("_na"), F.lit(1e-12))
         * F.greatest(F.col("_nb"), F.lit(1e-12))
     )
+    return a, b, cos
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding-cosine near-dup, exact tier: all pairs (a < b) with
+    cosine >= threshold. Entirely JVM-side (zip_with/aggregate inside
+    whole-stage codegen). O(n^2) — the correctness baseline and the
+    DuckDB-oracle twin; use embedding_neardup_lsh as the scale path."""
+    a, b, cos = _cosine_pair_sides(emb, id_col, vec_col)
     return (
         a.join(b, F.col("a") < F.col("b"))
         .withColumn("cosine", cos)
@@ -363,6 +376,11 @@ def embedding_neardup_lsh(
             ids = np.repeat(pdf[id_col].values, n_tables)
             yield pd.DataFrame({id_col: ids, "key": keys.ravel()})
 
+    # NOTE: similarity.lsh_multitable_candidates shares the same
+    # stacked-planes signature math but serves a query-vs-corpus probe
+    # (boolean hit per row); this variant emits JOINABLE (id, key) rows
+    # for the all-pairs case — keep the two in sync when changing the
+    # plane seeding or key layout (_table_planes is the shared piece).
     banded = emb.select(id_col, vec_col).mapInPandas(gen, schema=schema)
     l, r = banded.alias("l"), banded.alias("r")
     cand = (
@@ -375,17 +393,7 @@ def embedding_neardup_lsh(
         .distinct()
     )
     # exact cosine on CANDIDATES only (two hash joins + codegen math)
-    from .similarity import _dot, _norm
-
-    v = F.col(vec_col).cast("array<double>")
-    va = emb.select(F.col(id_col).alias("a"), v.alias("_va"),
-                    _norm(v).alias("_na"))
-    vb = emb.select(F.col(id_col).alias("b"), v.alias("_vb"),
-                    _norm(v).alias("_nb"))
-    cos = _dot(F.col("_va"), F.col("_vb")) / (
-        F.greatest(F.col("_na"), F.lit(1e-12))
-        * F.greatest(F.col("_nb"), F.lit(1e-12))
-    )
+    va, vb, cos = _cosine_pair_sides(emb, id_col, vec_col)
     return (
         cand.join(va, "a").join(vb, "b")
         .withColumn("cosine", cos)

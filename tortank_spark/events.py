@@ -133,8 +133,21 @@ def sessionize_stateful(
     """Streaming sessionization with applyInPandasWithState over
     (user_id, ts, value). Closed sessions are emitted as gap breaks
     arrive; open sessions flush on event-time timeout (watermark-driven,
-    so late data within the delay still joins its session)."""
+    so late data within the delay still joins its session).
+
+    Requires ``spark.sql.session.timeZone = UTC`` (enforced): the
+    pandas int64 view of the ts column is session-local epoch seconds
+    while setTimeoutTimestamp compares against the UTC watermark — a
+    non-UTC session would set timeouts offset by the zone (negative
+    offsets kill the query with 'timeout earlier than watermark')."""
     from pyspark.sql.streaming.state import GroupStateTimeout
+
+    tz = events_stream.sparkSession.conf.get("spark.sql.session.timeZone")
+    if tz not in ("UTC", "Etc/UTC", "GMT"):
+        raise ValueError(
+            f"sessionize_stateful requires spark.sql.session.timeZone=UTC "
+            f"(got {tz!r}); see docstring"
+        )
 
     return (
         events_stream.withWatermark("ts", watermark_delay)

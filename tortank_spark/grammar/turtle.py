@@ -500,10 +500,17 @@ class TurtleParser:
     def _new_bnode(self) -> Node:
         self.bnode_counter += 1
         if self.wkp is not None:
-            # unlabeled bnode skolemized to an IRI (turtle_doc.rs:740-743);
-            # the reference interpolates a uuid (test-mode: counter), we
-            # keep the salt+counter for cross-document uniqueness
-            return Node(IRI_K, f"{self.wkp}{self.bnode_prefix}{self.bnode_counter}")
+            # unlabeled bnode skolemized to an IRI (turtle_doc.rs:740-743).
+            # The reference interpolates a uuid whose FORMAT cannot be a
+            # blank-node label; our counter could collide with a labeled
+            # bnode '_:1' in the same doc, so the anon form embeds '~'
+            # — a character PN_CHARS forbids in labels
+            # (triple_common_parser.rs:374-405) — making the two skolem
+            # namespaces provably disjoint. Salt keeps cross-doc
+            # uniqueness.
+            return Node(
+                IRI_K, f"{self.wkp}{self.bnode_prefix}~{self.bnode_counter}"
+            )
         return Node(BNODE_K, f"{self.bnode_prefix}{self.bnode_counter}")
 
     def _labeled_node(self, label: str) -> Node:

@@ -68,6 +68,19 @@ def run_pipeline(
     # table bucketed" (Iceberg bucket transform) and is itself resumable
     # via the _SUCCESS marker.
     pages_dir = out / "pages_bucketed"
+    layout_file = out / "_LAYOUT.json"
+    if layout_file.exists():
+        # a resume MUST use the layout it was started with: bucket
+        # assignment is a function of n_buckets, so a changed value
+        # would silently skip (smaller) or fabricate-empty (larger)
+        # buckets — refuse loudly instead
+        layout = json.loads(layout_file.read_text())
+        if layout["n_buckets"] != n_buckets:
+            raise ValueError(
+                f"out_dir {out} was bucketed with n_buckets="
+                f"{layout['n_buckets']}; resuming with {n_buckets} would "
+                "drop or invent buckets — use a fresh out_dir"
+            )
     if not (pages_dir / "_SUCCESS").exists():
         (
             pages.withColumn("_bucket", bucket_of(F.col("url"), n_buckets))
@@ -75,6 +88,7 @@ def run_pipeline(
             .partitionBy("_bucket")
             .parquet(str(pages_dir))
         )
+        layout_file.write_text(json.dumps({"n_buckets": n_buckets}))
     for b in range(n_buckets):
         bdir = out / f"bucket={b}"
         manifest = bdir / "_MANIFEST.json"
