@@ -210,6 +210,18 @@ def test_simhash_multi_index_guarantee(spark):
     assert (1, 4) not in got  # outside the hamming radius
 
 
+def test_simhash_candidates_reject_radius_beyond_guarantee(spark):
+    """The C(6,3) block index is complete only for hamming <= 3; a
+    larger radius must raise rather than silently under-return."""
+    import pytest
+
+    from tortank_spark.dedup import simhash_candidate_pairs
+
+    sigs = spark.createDataFrame([(1, 7)], "doc_id long, simhash long")
+    with pytest.raises(ValueError, match="max_hamming <= 3"):
+        simhash_candidate_pairs(sigs, "doc_id", max_hamming=4)
+
+
 def test_ngram_jaccard_verification(spark):
     from tortank_spark.dedup import ngram_jaccard_pairs
 

@@ -161,3 +161,17 @@ def test_salted_join_matches_plain_join_on_skewed_key(spark):
     want = big.join(small, "key").collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
     assert set(got[0].asDict()) == {"key", "payload", "label"}
+
+
+def test_salted_join_rejects_right_and_full_outer(spark):
+    """Exploding the small side n_salts ways would emit every unmatched
+    small row n_salts times under right/full outer — rejected loudly."""
+    from tortank_spark.storage import salted_join
+
+    big = spark.createDataFrame([("a", 1)], "key string, payload long")
+    small = spark.createDataFrame([("a", "x")], "key string, label string")
+    for how in ("right", "full", "full_outer", "right_outer"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(big, small, "key", how=how)
+    # left family still allowed (unmatched BIG rows are salt-unique)
+    assert salted_join(big, small, "key", how="left").count() == 1

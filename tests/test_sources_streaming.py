@@ -97,12 +97,25 @@ def test_sessionize_batch_matches_manual(spark):
     }
 
 
-def test_sessionize_stateful_stream(spark, tmp_path):
+import pytest
+
+
+@pytest.mark.parametrize(
+    "gap_s,gap_str",
+    [
+        (30 * 60, "30 minutes"),   # default gap
+        (150 * 60, "150 minutes"),  # non-default: merges 00:00..02:00
+    ],
+)
+def test_sessionize_stateful_stream(spark, tmp_path, gap_s, gap_str):
     """applyInPandasWithState sessionization: gap breaks close sessions
     mid-stream; the event-time timeout (driven by the watermark from
     later batches) flushes the remaining open session. Closed+flushed
     sessions must equal the batch operator's output for users whose
-    sessions all ended."""
+    sessions all ended. Parameterized over a NON-default gap so the
+    stateful operator provably threads the gap through (with 150 min
+    the first three events merge into ONE session, so the two gaps
+    yield different session structures)."""
     import pyspark.sql.functions as F
 
     from tortank_spark.events import sessionize_stats, sessionize_stateful
@@ -138,7 +151,7 @@ def test_sessionize_stateful_stream(spark, tmp_path):
     )
     out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
     q = (
-        sessionize_stateful(stream)
+        sessionize_stateful(stream, gap_s=gap_s)
         .writeStream.format("parquet")
         .option("path", out_dir)
         .option("checkpointLocation", ckpt)
@@ -156,14 +169,15 @@ def test_sessionize_stateful_stream(spark, tmp_path):
     ).selectExpr("user_id", "CAST(ts_s AS timestamp) AS ts", "value")
     want = {
         (r["user_id"], str(r["session_start"]), r["n_events"], r["sum_value"])
-        for r in sessionize_stats(all_events).filter(F.col("user_id") == 1).collect()
+        for r in sessionize_stats(all_events, gap=gap_str)
+        .filter(F.col("user_id") == 1).collect()
     }
-    assert want <= got  # user 1's three sessions all emitted
+    assert want <= got  # user 1's sessions all emitted
     # user 2's session may or may not have flushed (stream ended) — but
     # nothing invented: every emitted session is a real batch session
     all_batch = {
         (r["user_id"], str(r["session_start"]), r["n_events"], r["sum_value"])
-        for r in sessionize_stats(all_events).collect()
+        for r in sessionize_stats(all_events, gap=gap_str).collect()
     }
     assert got <= all_batch
 

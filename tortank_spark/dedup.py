@@ -81,9 +81,15 @@ def _shingle_hashes(toks: list, k: int, vocab: dict) -> np.ndarray:
     per-shingle Python hashing (the round-1 hot spot)."""
     if not toks:
         return np.empty(0, dtype=np.uint64)
+
+    def _cached(t: str) -> int:
+        h = vocab.get(t)
+        if h is None:  # hash each UNIQUE token once per task
+            h = vocab[t] = _hash64(t)
+        return h
+
     th = np.fromiter(
-        (vocab.setdefault(t, _hash64(t)) for t in toks),
-        dtype=np.uint64, count=len(toks),
+        (_cached(t) for t in toks), dtype=np.uint64, count=len(toks),
     )
     with np.errstate(over="ignore"):  # uint64 wraparound IS the hash
         if len(toks) < k:
@@ -118,10 +124,13 @@ def minhash_signatures(
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         vocab: dict = {}
         for pdf in batches:
-            if len(vocab) > 1_000_000:
-                vocab.clear()  # bound the per-task cache on huge vocabularies
             out_ids, out_sigs = [], []
             for did, text in zip(pdf[id_col].values, pdf[text_col].values):
+                if len(vocab) > 1_000_000:
+                    # bound the per-task cache on huge vocabularies —
+                    # checked per DOC so a single giant batch cannot
+                    # blow past the bound between checks
+                    vocab.clear()
                 toks = [t for t in _TOKEN_RE.split((text or "").lower().strip())
                         if t]
                 sh = _shingle_hashes(toks, shingle_k, vocab)
@@ -145,7 +154,6 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Band the signature, bucket-join within (band, band-hash):
     candidates never require a cross join. Returns (a, b) pairs a<b."""
-    n_hashes = bands  # rows per band derived below
     banded = sigs.select(
         id_col,
         F.posexplode(
@@ -262,6 +270,15 @@ def simhash_candidate_pairs(
     design lacked. Guarantee: hamming <= 3 differing bits touch <= 3 of
     the 6 blocks, so some untouched 3-block combination key is shared
     (pigeonhole). The exact hamming filter runs on candidates only."""
+    if max_hamming > 3:
+        # the C(6,3) index is only COMPLETE for hamming <= 3: a pair
+        # differing in 4+ bits can touch 4+ blocks and share no key —
+        # silently returning an incomplete pair set would be a trap
+        raise ValueError(
+            f"simhash_candidate_pairs guarantees completeness only for "
+            f"max_hamming <= 3 (got {max_hamming}); use more blocks "
+            f"(Manku C(b, d) layout) for larger radii"
+        )
 
     def block(i):
         off, width = _SIMHASH_BLOCKS[i]

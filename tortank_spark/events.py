@@ -69,71 +69,88 @@ _SESSION_STATE_SCHEMA = (
 )
 
 
-def _session_update(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
-    """applyInPandasWithState update function: fold this micro-batch's
-    events (sorted by event time) into the open session, emitting every
-    session that a gap break closes; flush the open session when the
-    event-time timeout fires."""
-    import datetime as _dt
+def _make_session_update(gap_s: float):
+    """Build the applyInPandasWithState update function for a given
+    session gap (closure — the gap must match the batch operator's
+    ``sessionize_stats(gap=...)`` or the two silently diverge)."""
 
-    gap_s = 30 * 60
+    def _session_update(
+        key, pdfs: Iterator[pd.DataFrame], state
+    ) -> Iterator[pd.DataFrame]:
+        """Fold this micro-batch's events (sorted by event time) into
+        the open session, emitting every session that a gap break
+        closes; flush the open session when the event-time timeout
+        fires."""
+        import datetime as _dt
 
-    def row(start, last, n, total):
-        return {
-            "user_id": key[0],
-            "session_start": _dt.datetime.utcfromtimestamp(start),
-            "session_end": _dt.datetime.utcfromtimestamp(last),
-            "n_events": n,
-            "sum_value": round(total, 4),
-        }
+        def _utc_naive(epoch_s: float) -> "_dt.datetime":
+            # naive-UTC datetime (the session tz is enforced UTC);
+            # fromtimestamp(tz=utc) replaces deprecated utcfromtimestamp
+            return _dt.datetime.fromtimestamp(
+                epoch_s, _dt.timezone.utc
+            ).replace(tzinfo=None)
 
-    if state.hasTimedOut:
+        def row(start, last, n, total):
+            return {
+                "user_id": key[0],
+                "session_start": _utc_naive(start),
+                "session_end": _utc_naive(last),
+                "n_events": n,
+                "sum_value": round(total, 4),
+            }
+
+        if state.hasTimedOut:
+            if state.exists:
+                start, last, n, total = state.get
+                state.remove()
+                yield pd.DataFrame([row(start, last, n, total)])
+            return
+
+        ev = pd.concat(list(pdfs))
+        ev = ev.sort_values("ts")
+        ts = ev["ts"].astype("int64").to_numpy() / 1e9
+        vals = ev["value"].to_numpy()
+
+        closed = []
         if state.exists:
             start, last, n, total = state.get
-            state.remove()
-            yield pd.DataFrame([row(start, last, n, total)])
-        return
-
-    ev = pd.concat(list(pdfs))
-    ev = ev.sort_values("ts")
-    ts = ev["ts"].astype("int64").to_numpy() / 1e9
-    vals = ev["value"].to_numpy()
-
-    closed = []
-    if state.exists:
-        start, last, n, total = state.get
-        start, last = float(start), float(last)
-    else:
-        start = last = 0.0
-        n, total = 0, 0.0
-    for t, v in zip(ts, vals):
-        t = float(t)
-        if n > 0 and t - last > gap_s:
-            closed.append(row(start, last, n, total))
-            n, total = 0, 0.0
-        if n == 0:
-            start = last = t
+            start, last = float(start), float(last)
         else:
-            # late-but-in-watermark events may precede the open span
-            start = min(start, t)
-            last = max(last, t)
-        n += 1
-        total += float(v)
-    state.update((float(start), float(last), int(n), float(total)))
-    # flush the open session if no event arrives within the gap
-    state.setTimeoutTimestamp(int((last + gap_s) * 1000))
-    if closed:
-        yield pd.DataFrame(closed)
+            start = last = 0.0
+            n, total = 0, 0.0
+        for t, v in zip(ts, vals):
+            t = float(t)
+            if n > 0 and t - last > gap_s:
+                closed.append(row(start, last, n, total))
+                n, total = 0, 0.0
+            if n == 0:
+                start = last = t
+            else:
+                # late-but-in-watermark events may precede the open span
+                start = min(start, t)
+                last = max(last, t)
+            n += 1
+            total += float(v)
+        state.update((float(start), float(last), int(n), float(total)))
+        # flush the open session if no event arrives within the gap
+        state.setTimeoutTimestamp(int((last + gap_s) * 1000))
+        if closed:
+            yield pd.DataFrame(closed)
+
+    return _session_update
 
 
 def sessionize_stateful(
     events_stream: DataFrame,
     watermark_delay: str = "1 minute",
+    gap_s: float = 30 * 60,
 ) -> DataFrame:
     """Streaming sessionization with applyInPandasWithState over
     (user_id, ts, value). Closed sessions are emitted as gap breaks
     arrive; open sessions flush on event-time timeout (watermark-driven,
-    so late data within the delay still joins its session).
+    so late data within the delay still joins its session). ``gap_s``
+    is the session gap in seconds and must match the batch operator's
+    ``sessionize_stats(gap=...)`` for the equivalence the tests prove.
 
     Requires ``spark.sql.session.timeZone = UTC`` (enforced): the
     pandas int64 view of the ts column is session-local epoch seconds
@@ -153,7 +170,7 @@ def sessionize_stateful(
         events_stream.withWatermark("ts", watermark_delay)
         .groupBy("user_id")
         .applyInPandasWithState(
-            _session_update,
+            _make_session_update(gap_s),
             outputStructType=_SESSION_OUT_SCHEMA,
             stateStructType=_SESSION_STATE_SCHEMA,
             outputMode="append",

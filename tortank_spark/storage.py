@@ -54,7 +54,20 @@ def salted_join(
     ``n_salts`` of them at the cost of replicating the small side's hot
     rows. Columns of both inputs are preserved (small's key column is
     deduplicated). Prefer AQE skew-join where it applies; this is the
-    explicit tool for paths AQE cannot rewrite."""
+    explicit tool for paths AQE cannot rewrite.
+
+    Only join types where an unmatched SMALL row produces no output are
+    allowed: under right/full outer joins the exploded small side would
+    emit every unmatched small row ``n_salts`` times (silent
+    duplication), so those are rejected."""
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports {sorted(allowed)} (got {how!r}): "
+            "right/full outer would duplicate unmatched small-side rows "
+            "n_salts times"
+        )
     big_cols = [c for c in big.columns if c != key]
     salt = F.pmod(
         F.xxhash64(*[F.col(c) for c in big_cols]) if big_cols
