@@ -433,12 +433,26 @@ FROM nation
 
 
 def _q_minhash_neardup(spark, sf_dir):
-    """MinHash+LSH near-dup candidates (no SQL oracle — approximate,
-    non-relational construction; driver records rows-only)."""
-    from tortank_spark.dedup import minhash_dedup_pairs
+    """Full MinHash-LSH dedup ladder at threshold 0.5: signatures ->
+    banded LSH candidates -> EXACT 3-gram Jaccard verification on
+    candidates only (minhash_dedup_pairs' estimate tier is pinned by
+    pytest; the driver row runs the production shape, estimate ->
+    verify). Oracle: exact Jaccard over ALL pairs at >= 0.5. A green
+    row certifies banding recall 1.0 on every true pair of this corpus:
+    all true pairs sit at J >= 0.8 (verified against the exact oracle —
+    none fall in [0.5, 0.8) where 16x4 banding recall would be
+    probabilistic), and at J >= 0.8 the miss probability is ~4e-8."""
+    from tortank_spark.dedup import (
+        lsh_candidate_pairs, minhash_signatures, ngram_jaccard_pairs,
+    )
 
     docs = _t(spark, sf_dir, "documents")
-    return minhash_dedup_pairs(docs, "doc_id", threshold=0.5)
+    sigs = minhash_signatures(docs, "doc_id")
+    cand = lsh_candidate_pairs(sigs, "doc_id")
+    verified = ngram_jaccard_pairs(docs, cand, "doc_id")
+    return verified.filter(F.col("jaccard") >= 0.5).select(
+        "a", "b", F.round("jaccard", 4).alias("jaccard")
+    )
 
 
 def _q_minhash_verified(spark, sf_dir):
@@ -460,7 +474,11 @@ def _q_minhash_verified(spark, sf_dir):
     )
 
 
-_ORACLE_MINHASH_VERIFIED = r"""
+def _minhash_truth_sql(threshold: float) -> str:
+    """Exact all-pairs 3-gram Jaccard at ``threshold`` — the ground
+    truth the LSH ladder rows are compared against (O(n^2), oracle
+    side only)."""
+    return r"""
 WITH toks AS (
   SELECT doc_id,
          list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
@@ -482,15 +500,63 @@ SELECT a.doc_id AS a, b.doc_id AS b,
              / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
-      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
-"""
+      / len(list_distinct(list_concat(a.sh, b.sh))) >= {thr}
+""".replace("{thr}", repr(threshold))
+
+
+_ORACLE_MINHASH_VERIFIED = _minhash_truth_sql(0.8)
 
 
 def _q_simhash(spark, sf_dir):
+    """SimHash signatures over the documents table. FULL value oracle:
+    the md5-low-64 token hash (dedup._md5_64) is reproducible in
+    DuckDB, so the oracle recomputes every 64-bit signature bit-exactly
+    from scratch (tokenize -> per-token hash -> weighted ±1 bit sums ->
+    sign -> bit pack)."""
     from tortank_spark.dedup import simhash_signatures
 
     docs = _t(spark, sf_dir, "documents")
     return simhash_signatures(docs, "doc_id")
+
+
+# bit b of a signature is set iff sum over tokens of
+# (bit b of md5_64(token) ? +count : -count) is strictly positive;
+# the final CASE converts the unsigned bit-pack to the signed long the
+# Spark side emits. Empty-token docs get signature 0 via the LEFT JOIN.
+_ORACLE_SIMHASH = r"""
+WITH toks AS (
+  SELECT doc_id, t.tok AS tok, count(*) AS w
+  FROM documents,
+       unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                          x -> x <> '')) AS t(tok)
+  GROUP BY 1, 2
+),
+th AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(tok), 1, 16)) AS UBIGINT) AS h, w
+  FROM toks
+),
+bitsum AS (
+  SELECT doc_id, b.range AS bit,
+         sum(CASE WHEN (h >> CAST(b.range AS UBIGINT)) & CAST(1 AS UBIGINT)
+                       = CAST(1 AS UBIGINT)
+                  THEN w ELSE -w END) AS s
+  FROM th, range(64) b
+  GROUP BY 1, 2
+),
+sig AS (
+  SELECT doc_id,
+         sum(CASE WHEN s > 0
+                  THEN CAST(1 AS UBIGINT) << CAST(bit AS INTEGER)
+                  ELSE CAST(0 AS UBIGINT) END) AS u
+  FROM bitsum GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(CASE WHEN coalesce(sig.u, 0) >= 9223372036854775808
+                 THEN coalesce(sig.u, 0) - 18446744073709551616
+                 ELSE coalesce(sig.u, 0) END AS BIGINT) AS simhash
+FROM documents d LEFT JOIN sig USING (doc_id)
+"""
 
 
 def _q_lang_id(spark, sf_dir):
@@ -524,8 +590,12 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 
 
 def _q_embedding_neardup_lsh(spark, sf_dir):
-    """Scale tier: multi-table LSH candidates + exact verify on
-    candidates only (rows-only: approximate recall by construction)."""
+    """Scale tier: multi-table hyperplane-LSH candidates + exact verify
+    on candidates only. FULL value oracle: the seeded plane matrices
+    are constants (parameters-as-data, like the entity-linking alias
+    dict), so the DuckDB oracle recomputes every bucket, the candidate
+    join, and the exact cosine verify from scratch — pinning both the
+    candidate set and the verification."""
     from tortank_spark.dedup import embedding_neardup_lsh
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -533,9 +603,87 @@ def _q_embedding_neardup_lsh(spark, sf_dir):
                                  threshold=0.4)
 
 
+def _planes_values_sql(n_bits: int, n_tables: int, dim: int = 64) -> str:
+    """(tbl, bit, plane DOUBLE[]) VALUES literal of the seeded
+    hyperplane matrices — byte-identical to the constants the Spark
+    operators use (similarity._table_planes; repr() round-trips float64
+    exactly). The planes are PARAMETERS of the algorithm, not data: the
+    oracle still independently recomputes signs, buckets, the candidate
+    join and the exact re-rank."""
+    from tortank_spark.similarity import _table_planes
+
+    rows = []
+    for t in range(n_tables):
+        planes = _table_planes(dim, n_bits, t)
+        for b in range(n_bits):
+            vec = ", ".join(repr(float(x)) for x in planes[b])
+            rows.append(f"({t}, {b}, [{vec}])")
+    return ",\n".join(rows)
+
+
+def _emb_lsh_oracle_sql() -> str:
+    """DuckDB twin of dedup.embedding_neardup_lsh(threshold=0.4,
+    n_bits=8, n_tables=12): bucket = bit-packed hyperplane signs per
+    table; candidates share (table, bucket); exact cosine >= 0.4 on
+    candidates only."""
+    return f"""
+WITH planes(tbl, bit, plane) AS (VALUES {_planes_values_sql(8, 12)}),
+sides AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+buckets AS (
+  SELECT s.vec_id, p.tbl,
+         sum(CASE WHEN list_dot_product(s.v, p.plane) > 0
+                  THEN CAST(1 AS BIGINT) << p.bit ELSE 0 END) AS bucket
+  FROM sides s, planes p
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS a, b.vec_id AS b
+  FROM buckets a JOIN buckets b
+    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT c.a, c.b, round(list_cosine_similarity(sa.v, sb.v), 6) AS cosine
+FROM cand c
+JOIN sides sa ON sa.vec_id = c.a
+JOIN sides sb ON sb.vec_id = c.b
+WHERE list_cosine_similarity(sa.v, sb.v) >= 0.4
+"""
+
+
+def _lsh_ann_oracle_sql() -> str:
+    """DuckDB twin of similarity.lsh_multitable_topk(k=10, n_bits=4,
+    n_tables=12) with the query = vec_id 0 over the rest of the
+    corpus: a vector is a candidate iff it shares the query's bucket
+    in ANY table; candidates re-ranked by exact cosine."""
+    return f"""
+WITH planes(tbl, bit, plane) AS (VALUES {_planes_values_sql(4, 12)}),
+sides AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT v AS qv FROM sides WHERE vec_id = 0),
+buckets AS (
+  SELECT s.vec_id, p.tbl,
+         sum(CASE WHEN list_dot_product(s.v, p.plane) > 0
+                  THEN CAST(1 AS BIGINT) << p.bit ELSE 0 END) AS bucket
+  FROM sides s, planes p
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT b.vec_id
+  FROM buckets b
+  JOIN (SELECT tbl, bucket FROM buckets WHERE vec_id = 0) qb
+    ON b.tbl = qb.tbl AND b.bucket = qb.bucket
+  WHERE b.vec_id <> 0
+)
+SELECT s.vec_id, round(list_cosine_similarity(s.v, q.qv), 6) AS cosine
+FROM cand c JOIN sides s ON s.vec_id = c.vec_id, q
+ORDER BY cosine DESC, s.vec_id ASC
+LIMIT 10
+"""
+
+
 def _q_lsh_ann(spark, sf_dir):
-    """Multi-table hyperplane-LSH ANN top-k (approximate -> rows-only;
-    sim_lsh_recall below pins its quality against the exact path)."""
+    """Multi-table hyperplane-LSH ANN top-k. FULL value oracle: the
+    DuckDB twin recomputes buckets from the same seeded plane constants
+    and re-ranks candidates exactly (sim_lsh_recall additionally pins
+    recall vs the exact path)."""
     from tortank_spark.similarity import lsh_multitable_topk
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -563,17 +711,25 @@ def _q_lsh_recall(spark, sf_dir):
 
 
 def _q_ivf_ann(spark, sf_dir):
-    """IVF ANN top-k (coarse k-means quantizer trained on a sample,
-    probe the nearest lists, re-rank exact). Approximate -> rows-only;
-    semantics pinned by test_ivf_ann_planted_clusters (exact recovery
-    on clustered data; full-probe == exact on any data)."""
-    from tortank_spark.similarity import ivf_topk
+    """IVF ANN through the BUILD-ONCE index path (ivf_build persists
+    the table partitioned by list_id; ivf_topk_indexed reads only the
+    probed list directories), materialized as a deterministic
+    assertion row: recall@10 vs the exact scorer over the pinned floor
+    AND the probe's scan certified partition-pruned (inputFiles()
+    restricted to probed lists). Semantics additionally pinned by
+    test_ivf_ann_planted_clusters (exact recovery on clustered data;
+    full-probe == exact)."""
+    import tempfile
+
+    from tortank_spark.similarity import ivf_recall_report
 
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-    return ivf_topk(
-        emb.filter(F.col("vec_id") != 0), "embedding",
-        [float(x) for x in q], k=10, n_centroids=16, n_probes=4
+    index_dir = tempfile.mkdtemp(prefix="ivf_index_")
+    return ivf_recall_report(
+        spark, emb.filter(F.col("vec_id") != 0), "embedding",
+        [float(x) for x in q], index_dir,
+        k=10, n_centroids=16, n_probes=6, recall_floor=0.5,
     )
 
 
@@ -625,12 +781,85 @@ FROM s GROUP BY user_id, sess
 
 
 def _q_multimodal_features(spark, sf_dir):
+    """REAL multimodal decode (PPM/BMP images, WAV audio — pure numpy;
+    video stays stubbed: compressed containers need codec libs). FULL
+    value oracle: the fixture pixels/samples are closed formulas of
+    (media_id, byte index), so DuckDB regenerates every feature value
+    bit-exactly — which pins the decoders end to end (Spark derives
+    the same numbers from actual container BYTES, including BMP's
+    bottom-up BGR padded layout)."""
     from tortank_spark.multimodal import extract_features, make_media_table
 
     media = make_media_table(spark, n=32)
-    return extract_features(media).select(
-        "content_sha256", "media_type", "decode_ok"
-    )
+    return extract_features(media).join(
+        media.select("media_id", "content_sha256"), "content_sha256"
+    ).select("media_id", "media_type", "feature", "decode_ok")
+
+
+# fixture formulas (multimodal.media_fixture_rows): image i%3=0 has
+# w=4+(i%4)*2, h=3+((i//3)%3)*2, pixel byte j = (i*7+j*13)%256; audio
+# i%3=1 has 64+8i samples of ((i*31+j*17)%4096)-2048 @8kHz; video
+# i%3=2 is opaque bytes = unhex(repeat(sha256('media-i'),4)) whose
+# STUB features are sha256(blob) bytes 0..15 / 255. Feature math uses
+# exact-integer sums in float64 on both sides (bit-identical).
+_ORACLE_MM_FEATURES = """
+WITH ids AS (SELECT i.range AS i FROM range(32) i),
+img AS (
+  SELECT i, 4 + (i % 4) * 2 AS w, 3 + ((i // 3) % 3) * 2 AS h
+  FROM ids WHERE i % 3 = 0
+),
+ipx AS (SELECT i, w, h, unnest(range(w * h * 3)) AS j FROM img),
+ipv AS (
+  SELECT i, w, h, j, (i * 7 + j * 13) % 256 AS v, j % 3 AS c FROM ipx
+),
+ifeat AS (
+  SELECT i,
+         [CAST(w AS DOUBLE), CAST(h AS DOUBLE),
+          sum(v)::DOUBLE / (w * h * 3),
+          sqrt(greatest(
+            sum(v * v)::DOUBLE / (w * h * 3)
+            - (sum(v)::DOUBLE / (w * h * 3)) * (sum(v)::DOUBLE / (w * h * 3)),
+            0.0)),
+          CAST(min(v) AS DOUBLE), CAST(max(v) AS DOUBLE),
+          sum(CASE WHEN c = 0 THEN v ELSE 0 END)::DOUBLE / (w * h),
+          sum(CASE WHEN c = 1 THEN v ELSE 0 END)::DOUBLE / (w * h),
+          sum(CASE WHEN c = 2 THEN v ELSE 0 END)::DOUBLE / (w * h)
+         ] AS feature
+  FROM ipv GROUP BY i, w, h
+),
+aud AS (SELECT i, 64 + 8 * i AS ns FROM ids WHERE i % 3 = 1),
+apx AS (SELECT i, ns, unnest(range(ns)) AS j FROM aud),
+apv AS (SELECT i, ns, ((i * 31 + j * 17) % 4096) - 2048 AS v FROM apx),
+afeat AS (
+  SELECT i,
+         [CAST(ns AS DOUBLE), 8000.0,
+          sum(v)::DOUBLE / ns,
+          sqrt(sum(v * v)::DOUBLE / ns),
+          CAST(min(v) AS DOUBLE), CAST(max(v) AS DOUBLE)
+         ] AS feature
+  FROM apv GROUP BY i, ns
+),
+vid AS (
+  SELECT i,
+         sha256(repeat('media-' || i || '-opaque-video-payload', 4)) AS sh
+  FROM ids WHERE i % 3 = 2
+),
+vpx AS (SELECT i, sh, unnest(range(16)) AS j FROM vid),
+vfeat AS (
+  SELECT i,
+         list(CAST(concat('0x', substr(sh, 2 * j + 1, 2)) AS INTEGER)
+              / 255.0 ORDER BY j) AS feature
+  FROM vpx GROUP BY i, sh
+),
+allf AS (
+  SELECT i, feature, 'image' AS media_type, 'ok' AS decode_ok FROM ifeat
+  UNION ALL
+  SELECT i, feature, 'audio', 'ok' FROM afeat
+  UNION ALL
+  SELECT i, feature, 'video', 'stubbed' FROM vfeat
+)
+SELECT i AS media_id, media_type, feature, decode_ok FROM allf
+"""
 
 
 # ----------------------------------------------- sources / sinks (S3-S9)
@@ -932,19 +1161,79 @@ def _full_oracle_sql() -> str:
 
 
 def _q_mm_resize(spark, sf_dir):
+    """REAL area-average (box-filter) resize of the PPM/BMP fixture
+    images to 16x8, pinned by a byte-sum checksum the DuckDB oracle
+    recomputes from the pixel formula + the same fractional-coverage
+    weight definition (audio/video rows are 'skipped' with NULL sum)."""
     from tortank_spark.multimodal import make_media_table, resize_images
 
-    return resize_images(make_media_table(spark, n=32)).select(
-        "content_sha256", "out_width", "out_height", "decode_ok"
-    )
+    media = make_media_table(spark, n=32)
+    return resize_images(media, width=16, height=8).join(
+        media.select("media_id", "content_sha256"), "content_sha256"
+    ).select("media_id", "out_width", "out_height", "resized_sum",
+             "decode_ok")
+
+
+# box filter twin: out cell (Y,X,c) = floor(0.5 + sum over source
+# pixels of wy*wx*v) with wy = overlap(Y,y)/(h/8), wx = overlap(X,x)
+# /(w/16) — the same expressions multimodal._box_weights evaluates.
+_ORACLE_MM_RESIZE = """
+WITH ids AS (SELECT i.range AS i FROM range(32) i),
+img AS (
+  SELECT i, 4 + (i % 4) * 2 AS w, 3 + ((i // 3) % 3) * 2 AS h
+  FROM ids WHERE i % 3 = 0
+),
+oy AS (SELECT i, w, h, unnest(range(8)) AS oy FROM img),
+ox AS (SELECT *, unnest(range(16)) AS ox FROM oy),
+oc AS (SELECT *, unnest(range(3)) AS c FROM ox),
+sy AS (SELECT *, unnest(range(h)) AS y FROM oc),
+sx AS (SELECT *, unnest(range(w)) AS x FROM sy),
+contrib AS (
+  SELECT i, oy, ox, c,
+         greatest(0.0, least(y + 1, (oy + 1) * (h / 8.0))
+                       - greatest(y, oy * (h / 8.0))) / (h / 8.0)
+         * (greatest(0.0, least(x + 1, (ox + 1) * (w / 16.0))
+                          - greatest(x, ox * (w / 16.0))) / (w / 16.0))
+         * ((i * 7 + ((y * w + x) * 3 + c) * 13) % 256) AS t
+  FROM sx
+),
+cells AS (
+  SELECT i, oy, ox, c,
+         CAST(floor(sum(t) + 0.5) AS BIGINT) AS byte
+  FROM contrib GROUP BY 1, 2, 3, 4
+),
+sums AS (SELECT i, sum(least(greatest(byte, 0), 255)) AS rsum
+         FROM cells GROUP BY i)
+SELECT i AS media_id, 16 AS out_width, 8 AS out_height,
+       rsum AS resized_sum, 'ok' AS decode_ok
+FROM sums
+UNION ALL
+SELECT i, 16, 8, NULL, 'skipped' FROM ids WHERE i % 3 <> 0
+"""
 
 
 def _q_mm_frames(spark, sf_dir):
+    """Video frame-sampling fan-out (timestamps + indices are exact
+    arithmetic; frame decode stubbed). FULL oracle: DuckDB regenerates
+    the (video, timestamp) grid from the fixture's duration formula."""
     from tortank_spark.multimodal import make_media_table, sample_frames
 
-    return sample_frames(make_media_table(spark, n=32)).select(
-        "content_sha256", "frame_idx", "frame_ts_ms", "decode_ok"
-    )
+    media = make_media_table(spark, n=32)
+    return sample_frames(media).join(
+        media.select("media_id", "content_sha256"), "content_sha256"
+    ).select("media_id", "frame_idx", "frame_ts_ms", "decode_ok")
+
+
+_ORACLE_MM_FRAMES = """
+WITH vids AS (
+  SELECT i.range AS i, 1000 * (i.range + 1) AS dur
+  FROM range(32) i WHERE i.range % 3 = 2
+),
+fr AS (SELECT i, unnest(range(0, dur, 1000)) AS ts FROM vids)
+SELECT i AS media_id, ts // 1000 AS frame_idx, ts AS frame_ts_ms,
+       'stubbed' AS decode_ok
+FROM fr
+"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1016,10 +1305,19 @@ def oracle_sql() -> dict[str, str]:
         "r10_add_prefixes": _ORACLE_EXTRACT,
         "stream_ingest": _ORACLE_EXTRACT,
         "dedup_minhash_verified": _ORACLE_MINHASH_VERIFIED,
+        "dedup_minhash_lsh": _minhash_truth_sql(0.5),
+        "dedup_simhash": _ORACLE_SIMHASH,
         "dedup_embedding": _ORACLE_EMB_NEARDUP,
-        # dedup_embedding_lsh: approximate candidate set -> rows-only
+        "dedup_embedding_lsh": _emb_lsh_oracle_sql(),
+        "sim_lsh_ann": _lsh_ann_oracle_sql(),
         "sim_lsh_recall": (
             "SELECT 10 AS k, true AS recall_ok, true AS pruned"
+        ),
+        # deterministic assertion row (seeded k-means + fixed corpus):
+        # recall@10 of the build-once IVF index path over the pinned
+        # floor, and the probe's scan certified partition-pruned
+        "sim_ivf_ann": (
+            "SELECT 10 AS k, true AS recall_ok, true AS pruned_read"
         ),
         "kg_connected_components": _ORACLE_CC,
         "kg_entity_link": f"""
@@ -1126,10 +1424,9 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         **_text_oracles(),
-        # dedup_minhash_lsh / dedup_simhash / dedup_embedding_lsh /
-        # sim_lsh_ann / mm_features: approximate candidate sets or
-        # stubbed decoders -> rows-only driver check (their quality is
-        # pinned by dedup_minhash_verified / sim_lsh_recall / pytest).
+        "mm_features": _ORACLE_MM_FEATURES,
+        "mm_resize": _ORACLE_MM_RESIZE,
+        "mm_frames": _ORACLE_MM_FRAMES,
         "events_sessionize": _ORACLE_SESSIONS,
         "events_windowed_agg": """
             SELECT date_trunc('hour', ts) AS win_start,

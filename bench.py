@@ -86,13 +86,17 @@ SF = _sf_of(SF_DIR)
 N_PAGES = max(1024, int(SF * 80_000))
 COOLDOWN_START = int(os.environ.get("SPARK_GRAFT_BENCH_COOLDOWN", "30"))
 COOLDOWN_ROUND = 8
-MIN_ROUNDS = 3
-MAX_ROUNDS = 8
+MIN_ROUNDS = 5
+MAX_ROUNDS = 12
 # early-stop is VALUE-AGNOSTIC to avoid optional-stopping bias: sampling
-# ends when the last 3 round efficiencies agree within +/-20% of their
-# median (a stable regime), never because the number crossed a target
+# ends when the last 3 round efficiencies agree within +/-10% of their
+# median (a stable regime), never because the number crossed a target.
+# Round 2 ran with MIN_ROUNDS=3/TOL=0.2 and accepted [0.771, 0.74,
+# 0.921] as "stable" with ~210 s of budget unused — the wider window
+# discarded evidence that the host was still settling. 5 rounds at
+# ~16 s/round fit comfortably inside the 300 s budget.
 STABLE_WINDOW = 3
-STABLE_TOL = 0.2
+STABLE_TOL = 0.1
 SCALING_BUDGET_S = int(os.environ.get("SPARK_GRAFT_SCALING_BUDGET", "300"))
 
 _LEG_CODE = """
@@ -202,10 +206,8 @@ def measure_scaling() -> dict:
         time.sleep(COOLDOWN_START)  # settle before sampling
 
         ratio = int(SCALE_BIG / SCALE_SMALL)
-        round_effs: list[float] = []
-        t_loop = time.monotonic()
-        rounds = 0
-        for rounds in range(1, MAX_ROUNDS + 1):
+
+        def one_round() -> float:
             # fully-overlapped round: small does 1 pass while big does
             # `ratio` consecutive passes — both legs busy all window
             big_walls: list[float] = []
@@ -217,14 +219,30 @@ def measure_scaling() -> dict:
                         big_walls.append(big.run_pass())
                 except BaseException as e:  # propagate to main thread —
                     big_err.append(e)       # a partial sum corrupts eff
-
             t = threading.Thread(target=big_loop)
             t.start()
             w_small = small.run_pass()
             t.join()
             if big_err:
                 raise big_err[0]
-            round_effs.append(w_small / sum(big_walls))
+            return w_small / sum(big_walls)
+
+        # one DISCARDED warm-in round (value-agnostic: always dropped,
+        # regardless of its value): the first overlapped round after
+        # JVM start + cooldown reliably straddles the burst->throttle
+        # regime edge (observed eff 0.16 with the very first small-leg
+        # pass catching the full burst window while the big leg's four
+        # passes ran into the clock cut). It counts against the budget:
+        # in a deep-throttle regime a single round can take minutes and
+        # the phase must stay inside SCALING_BUDGET_S + one round.
+        t_loop = time.monotonic()
+        one_round()
+        time.sleep(COOLDOWN_ROUND)
+
+        round_effs: list[float] = []
+        rounds = 0
+        for rounds in range(1, MAX_ROUNDS + 1):
+            round_effs.append(one_round())
             if rounds >= MIN_ROUNDS:
                 window = round_effs[-STABLE_WINDOW:]
                 m = statistics.median(window)
@@ -258,16 +276,13 @@ def measure_scaling() -> dict:
             small.stop()
 
 
-def main():
-    t_all = time.monotonic()
-    scaling = measure_scaling()
-    w_big = scaling["wall_big_sec"]
-
-    queries = {
-        "extract_local_small": scaling["wall_small_sec"],
-        "extract_local_big": w_big,
-    }
-
+def run_headline_queries() -> dict:
+    """Timed headline queries at full parallelism. Runs FIRST (before
+    the scaling phase) so these land on a fresh burst budget — round 2
+    measured them after ~5 minutes of scaling legs and the drained
+    budget inflated kg_connected_components 14.9 -> 20.7 s with zero
+    code change. The session is fully stopped before the scaling legs
+    spawn (a concurrent JVM poisons the overlapped measurement)."""
     from tortank_spark.session import get_spark
 
     spark = get_spark("bench-queries", cpus=CPUS)
@@ -288,6 +303,7 @@ def main():
         "sim_topk_cosine",
     ]
     qs = entrymod.queries()
+    queries = {}
     # untimed warmup: the fresh 32-core session pays python-worker
     # forks + Arrow init once; charging that to the first headline
     # query would misattribute ~5-8 s of session setup to it
@@ -303,6 +319,17 @@ def main():
         except Exception as e:  # a failing query must not kill the bench
             queries[name] = -1.0
             print(f"bench query {name} failed: {e}", file=sys.stderr)
+    spark.stop()
+    return queries
+
+
+def main():
+    t_all = time.monotonic()
+    queries = run_headline_queries()
+    scaling = measure_scaling()
+    w_big = scaling["wall_big_sec"]
+    queries["extract_local_small"] = scaling["wall_small_sec"]
+    queries["extract_local_big"] = w_big
 
     total = round(time.monotonic() - t_all, 3)
     out = {

@@ -295,19 +295,61 @@ def test_textops_counts_and_quality(spark):
 
 
 def test_multimodal_feature_plumbing(spark):
+    """PPM/BMP/WAV rows decode FOR REAL (decode_ok='ok', exact stats
+    from the fixture's pixel/sample formulas); video rows (compressed
+    container) go through the deterministic stub."""
     from tortank_spark.multimodal import extract_features, make_media_table
 
     media = make_media_table(spark, n=9)
-    feats = extract_features(media).collect()
-    assert len(feats) == 9
-    assert all(r["decode_ok"] == "stubbed" for r in feats)
-    assert all(r["feature"] is not None and len(r["feature"]) == 16
-               for r in feats)
+    feats = {r["media_type"]: [] for r in []} or {}
+    rows = extract_features(media).collect()
+    assert len(rows) == 9
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["media_type"], []).append(r)
+    assert all(r["decode_ok"] == "ok" for r in by_type["image"])
+    assert all(len(r["feature"]) == 9 for r in by_type["image"])
+    assert all(r["decode_ok"] == "ok" for r in by_type["audio"])
+    assert all(len(r["feature"]) == 6 for r in by_type["audio"])
+    assert all(r["decode_ok"] == "stubbed" for r in by_type["video"])
+    assert all(len(r["feature"]) == 16 for r in by_type["video"])
+    # image i=0: 4x3 PPM, pixel j = (j*13) % 256 — exact stats
+    img0 = next(r for r in rows if r["feature"][0] == 4.0
+                and r["media_type"] == "image")
+    vals = [(j * 13) % 256 for j in range(4 * 3 * 3)]
+    n = len(vals)
+    assert img0["feature"][2] == sum(vals) / n          # mean, exact
+    assert img0["feature"][4] == float(min(vals))
+    assert img0["feature"][5] == float(max(vals))
+    # audio i=1: 72 samples, ((31 + 17j) % 4096) - 2048
+    aud = [((31 + 17 * j) % 4096) - 2048 for j in range(72)]
+    a0 = next(r for r in rows if r["media_type"] == "audio"
+              and r["feature"][0] == 72.0)
+    assert a0["feature"][2] == sum(aud) / 72
     # deterministic across runs
     feats2 = extract_features(media).collect()
-    assert {(r["content_sha256"], tuple(r["feature"])) for r in feats} == {
+    assert {(r["content_sha256"], tuple(r["feature"])) for r in rows} == {
         (r["content_sha256"], tuple(r["feature"])) for r in feats2
     }
+
+
+def test_multimodal_codecs_roundtrip_and_bmp_ppm_agree(spark):
+    """The two image containers of the SAME logical raster must decode
+    to identical features (pins the BMP bottom-up/BGR/padding handling
+    against the trivial PPM layout); unsupported formats stub."""
+    import numpy as np
+
+    from tortank_spark.multimodal import (
+        decode_bmp, decode_ppm, encode_bmp, encode_ppm, image_features,
+    )
+
+    rng = np.random.RandomState(11)
+    arr = rng.randint(0, 256, size=(5, 7, 3)).astype(np.uint8)
+    assert (decode_ppm(encode_ppm(arr)) == arr).all()
+    assert (decode_bmp(encode_bmp(arr)) == arr).all()
+    assert image_features(decode_ppm(encode_ppm(arr))) == image_features(
+        decode_bmp(encode_bmp(arr))
+    )
 
 
 def test_serializers_roundtrip(spark):
@@ -519,20 +561,32 @@ def test_embedding_neardup_exact_and_lsh(spark):
 
 
 def test_multimodal_resize_and_frame_sample(spark):
-    """Resize + frame-sample plumbing: schemas, fan-out shape, skip and
-    determinism (decode stubbed — no codec libs in this container)."""
+    """REAL box-filter resize for the PPM/BMP fixture images
+    (decode_ok='ok', w*h*3 RGB raster out); frame sampling fan-out
+    (video decode stubbed — compressed containers need codec libs)."""
+    import numpy as np
+
     from tortank_spark.multimodal import (
-        make_media_table, resize_images, sample_frames,
+        box_resize, decode_bmp, decode_ppm, make_media_table,
+        media_fixture_rows, resize_images, sample_frames,
     )
 
     media = make_media_table(spark, n=9)
     rs = resize_images(media, width=8, height=4).collect()
     assert len(rs) == 9
-    imgs = [r for r in rs if r["decode_ok"] == "stubbed"]
-    assert len(imgs) == 3  # one third of kinds are images
-    assert all(len(r["resized"]) == 8 * 4 for r in imgs)
+    imgs = [r for r in rs if r["decode_ok"] == "ok"]
+    assert len(imgs) == 3  # one third of kinds are images, all decodable
+    assert all(len(r["resized"]) == 8 * 4 * 3 for r in imgs)
+    assert all(r["resized_sum"] == sum(bytes(r["resized"])) for r in imgs)
     assert all(r["decode_ok"] == "skipped" for r in rs
                if r not in imgs)
+    # spot-check one raster against a local decode+resize
+    fix = {r[1]: bytes(r[3]) for r in media_fixture_rows(9)}  # sha -> blob
+    r0 = imgs[0]
+    blob = fix[r0["content_sha256"]]
+    arr = decode_ppm(blob) if blob.startswith(b"P6") else decode_bmp(blob)
+    want = box_resize(arr, 8, 4).tobytes()
+    assert bytes(r0["resized"]) == want
 
     fr = sample_frames(media, every_ms=1000).collect()
     # videos are i % 3 == 2 -> durations 3000, 6000, 9000 ms
@@ -584,3 +638,51 @@ def test_ivf_ann_planted_clusters(spark):
         emb, "embedding", query, 5, n_centroids=8, n_probes=8,
         centroids=cents).collect()]
     assert full == exact
+
+
+def test_ivf_build_once_index_prunes_io(spark, tmp_path):
+    """Build-once/probe-many IVF: ivf_build persists the table
+    PARTITIONED BY list_id; a probe through ivf_topk_indexed (a) reads
+    ONLY the probed list directories — the files the executed probe
+    scan opened (input_file_name audit) name no other partition and
+    are strictly fewer than the full index — and (b) returns exactly
+    what the scan-everything ivf_topk
+    returns with the same centroids."""
+    import random
+
+    from tortank_spark.similarity import (
+        _nearest_lists, ivf_load_centroids, ivf_topk, ivf_topk_indexed,
+        scan_files_read,
+    )
+
+    rng = random.Random(7)
+    dim, rows = 8, []
+    centers = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(4)]
+    vid = 0
+    for c in centers:
+        for _ in range(25):
+            rows.append((vid, [x + rng.gauss(0, 0.05) for x in c]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    query = [x + 0.01 for x in centers[1]]
+
+    from tortank_spark.similarity import ivf_build
+
+    index_dir = str(tmp_path / "ivf")
+    cents = ivf_build(emb, "embedding", index_dir, n_centroids=8)
+    assert (ivf_load_centroids(index_dir) == cents).all()
+
+    probes = set(_nearest_lists(cents, query, 2))
+    read_files, all_files = scan_files_read(spark, index_dir, list(probes))
+    assert read_files  # the probed lists exist and hold data
+    assert all(
+        any(f"list_id={p}/" in f for p in probes) for f in read_files
+    ), read_files
+    assert len(read_files) < len(all_files)
+
+    got = [r["vec_id"] for r in ivf_topk_indexed(
+        spark, index_dir, query, k=5, n_probes=2).collect()]
+    want = [r["vec_id"] for r in ivf_topk(
+        emb, "embedding", query, 5, n_centroids=8, n_probes=2,
+        centroids=cents).collect()]
+    assert got == want

@@ -18,16 +18,32 @@ def test_pipeline_end_to_end_and_resume(spark, tmp_path):
     assert stats["buckets_ran"] == [0, 1]
     assert stats["n_canonical_triples"] > 0
 
-    # full resume: nothing re-runs, same output count
+    assert stats["global_phase"] == "ran"
+
+    # full resume: nothing re-runs — including the GLOBAL phase: the
+    # canonical outputs' files must be byte-for-byte untouched (no
+    # Spark job rewrote them; at 100 TB a resume re-running the global
+    # rewrite would rescan+reshuffle the whole triple table)
+    def _canon_state():
+        return sorted(
+            (p.name, p.stat().st_mtime_ns, p.stat().st_size)
+            for p in (tmp_path / "kg" / "triples_canonical").iterdir()
+        )
+
+    canon_before = _canon_state()
     stats2 = run_pipeline(spark, pages, out, n_buckets=2, alias_dict=alias)
     assert stats2["buckets_ran"] == []
     assert stats2["buckets_skipped"] == [0, 1]
+    assert stats2["global_phase"] == "skipped"
     assert stats2["n_canonical_triples"] == stats["n_canonical_triples"]
+    assert _canon_state() == canon_before
 
-    # partial resume: drop one manifest -> only that bucket re-runs
+    # partial resume: drop one manifest -> only that bucket re-runs,
+    # and the bucket re-run forces the global phase to re-run too
     (tmp_path / "kg" / "bucket=1" / "_MANIFEST.json").unlink()
     stats3 = run_pipeline(spark, pages, out, n_buckets=2, alias_dict=alias)
     assert stats3["buckets_ran"] == [1]
+    assert stats3["global_phase"] == "ran"
     assert stats3["n_canonical_triples"] == stats["n_canonical_triples"]
 
     # lineage: the broken page is quarantined with an error message

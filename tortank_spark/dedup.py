@@ -67,6 +67,16 @@ def _hash64(s: str) -> int:
     return struct.unpack("<Q", hashlib.blake2b(s.encode(), digest_size=8).digest())[0]
 
 
+def _md5_64(s: str) -> int:
+    """First 64 bits of md5 (16 hex chars, big-endian). Used for the
+    SIMHASH token hash — chosen over blake2b because the DuckDB oracle
+    reproduces it exactly:
+    ``CAST(concat('0x', substr(md5(tok), 1, 16)) AS UBIGINT)`` —
+    which turns the simhash driver row into a full value-hash oracle
+    instead of a rows-only check."""
+    return int(hashlib.md5(s.encode()).hexdigest()[:16], 16)
+
+
 def _minhash_params(n_hashes: int, seed: int = 42):
     rng = np.random.RandomState(seed)
     a = rng.randint(1, _MERSENNE31, size=n_hashes, dtype=np.int64)
@@ -222,7 +232,14 @@ def simhash_signatures(
     df: DataFrame, id_col: str, text_col: str = "text"
 ) -> DataFrame:
     """64-bit SimHash over tokens (Charikar); near-dups differ in few
-    bits. Vectorized with numpy bit-count accumulation."""
+    bits. Token weight = occurrence count; bit b of the signature is
+    set iff the weighted ±1 sum over token-hash bit b is strictly
+    positive. Vectorized per UNIQUE token (hash cached per task, one
+    (unique × 64) matrix op per doc). The md5-low-64 token hash is
+    deliberately SQL-reproducible — the driver's DuckDB oracle
+    recomputes every signature bit-exactly (see _md5_64)."""
+    from collections import Counter
+
     schema = StructType(
         [
             StructField(id_col, df.schema[id_col].dataType, False),
@@ -232,14 +249,31 @@ def simhash_signatures(
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bits = np.arange(64, dtype=np.uint64)
+        vocab: dict = {}
         for pdf in batches:
             ids, sigs = [], []
             for did, text in zip(pdf[id_col].values, pdf[text_col].values):
-                toks = [t for t in _TOKEN_RE.split((text or "").lower()) if t]
-                acc = np.zeros(64, dtype=np.int64)
-                for t in toks:
-                    h = np.uint64(_hash64(t))
-                    acc += np.where((h >> bits) & np.uint64(1), 1, -1)
+                if len(vocab) > 1_000_000:
+                    vocab.clear()
+                counts = Counter(
+                    t for t in _TOKEN_RE.split((text or "").lower()) if t
+                )
+                if counts:
+                    hs = np.empty(len(counts), dtype=np.uint64)
+                    ws = np.empty(len(counts), dtype=np.int64)
+                    for i, (t, w) in enumerate(counts.items()):
+                        h = vocab.get(t)
+                        if h is None:
+                            h = vocab[t] = _md5_64(t)
+                        hs[i] = h
+                        ws[i] = w
+                    signs = np.where(
+                        (hs[:, None] >> bits[None, :]) & np.uint64(1),
+                        ws[:, None], -ws[:, None],
+                    )
+                    acc = signs.sum(axis=0)
+                else:
+                    acc = np.zeros(64, dtype=np.int64)
                 sig = int(((acc > 0).astype(np.uint64) << bits).sum(dtype=np.uint64))
                 ids.append(did)
                 sigs.append(sig - (1 << 64) if sig >= (1 << 63) else sig)

@@ -45,6 +45,20 @@ def bucket_of(url_col, n_buckets: int):
     return F.pmod(F.xxhash64(url_col), F.lit(n_buckets)).cast("int")
 
 
+def _manifest_key(out: Path, n_buckets: int) -> str:
+    """Content hash over the full ordered set of bucket manifests —
+    the resume key for the global canonicalization phase. Any bucket
+    re-run in the CURRENT invocation also forces the global phase
+    (checked separately), so this key only gates pure resumes."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for b in range(n_buckets):
+        h.update(f"bucket={b}:".encode())
+        h.update((out / f"bucket={b}" / "_MANIFEST.json").read_bytes())
+    return h.hexdigest()
+
+
 def run_pipeline(
     spark: SparkSession,
     pages: DataFrame,
@@ -81,6 +95,13 @@ def run_pipeline(
                 f"{layout['n_buckets']}; resuming with {n_buckets} would "
                 "drop or invent buckets — use a fresh out_dir"
             )
+    else:
+        # the layout record is written BEFORE the bucketed write: a
+        # crash between the parquet _SUCCESS commit and a trailing
+        # layout write would leave a committed table with no layout,
+        # letting a later resume with a different n_buckets slip past
+        # the guard above
+        layout_file.write_text(json.dumps({"n_buckets": n_buckets}))
     if not (pages_dir / "_SUCCESS").exists():
         (
             pages.withColumn("_bucket", bucket_of(F.col("url"), n_buckets))
@@ -88,7 +109,6 @@ def run_pipeline(
             .partitionBy("_bucket")
             .parquet(str(pages_dir))
         )
-        layout_file.write_text(json.dumps({"n_buckets": n_buckets}))
     for b in range(n_buckets):
         bdir = out / f"bucket={b}"
         manifest = bdir / "_MANIFEST.json"
@@ -113,34 +133,61 @@ def run_pipeline(
         )
         manifest.write_text(json.dumps(stats, indent=1))
         ran.append(b)
-    # global canonicalization over the union of bucket edge sidecars
+    # global canonicalization over the union of bucket edge sidecars.
+    # Resume guard: the phase is keyed to the full set of bucket
+    # manifests — on a pure resume (no bucket ran, manifest set
+    # unchanged, outputs committed) the phase is SKIPPED entirely (zero
+    # Spark jobs). At 100 TB re-running it would be a full
+    # scan+shuffle+rewrite of the whole triple table to reproduce bytes
+    # that already exist.
     cmap_dir = out / "canonical_map"
-    edges = spark.read.parquet(str(out / "bucket=*" / "sameas_edges"))
-    cmap = connected_components(edges)
-    cmap.write.mode("overwrite").parquet(str(cmap_dir))
-    cmap = spark.read.parquet(str(cmap_dir))
-    triples = spark.read.parquet(str(out / "bucket=*" / "triples"))
-    canonical = rewrite_canonical(triples, cmap)
-    # partition by predicate SALTED with a subject-hash: predicates are
-    # zipf-skewed (rdf:type alone is often >20% of a web KG), so a bare
-    # repartition("p") would funnel the hottest predicate into one task;
-    # the salt caps any single reducer at ~1/16 of a predicate while
-    # keeping predicate locality for downstream pattern scans
-    (
-        canonical.repartition(
-            max(n_buckets, 8),
-            F.col("p"),
-            F.pmod(F.xxhash64("s"), F.lit(16)),
+    canon_dir = out / "triples_canonical"
+    global_file = out / "_GLOBAL.json"
+    manifest_key = _manifest_key(out, n_buckets)
+    global_skipped = False
+    n_triples = None
+    if not ran and global_file.exists():
+        g = json.loads(global_file.read_text())
+        if (
+            g.get("manifest_key") == manifest_key
+            and (cmap_dir / "_SUCCESS").exists()
+            and (canon_dir / "_SUCCESS").exists()
+        ):
+            n_triples = g["n_canonical_triples"]
+            global_skipped = True
+    if not global_skipped:
+        edges = spark.read.parquet(str(out / "bucket=*" / "sameas_edges"))
+        cmap = connected_components(edges)
+        cmap.write.mode("overwrite").parquet(str(cmap_dir))
+        cmap = spark.read.parquet(str(cmap_dir))
+        triples = spark.read.parquet(str(out / "bucket=*" / "triples"))
+        canonical = rewrite_canonical(triples, cmap)
+        # partition by predicate SALTED with a subject-hash: predicates
+        # are zipf-skewed (rdf:type alone is often >20% of a web KG), so
+        # a bare repartition("p") would funnel the hottest predicate into
+        # one task; the salt caps any single reducer at ~1/16 of a
+        # predicate while keeping predicate locality for downstream
+        # pattern scans
+        (
+            canonical.repartition(
+                max(n_buckets, 8),
+                F.col("p"),
+                F.pmod(F.xxhash64("s"), F.lit(16)),
+            )
+            .write.mode("overwrite")
+            .parquet(str(canon_dir))
         )
-        .write.mode("overwrite")
-        .parquet(str(out / "triples_canonical"))
-    )
+        n_triples = spark.read.parquet(str(canon_dir)).count()
+        global_file.write_text(json.dumps({
+            "manifest_key": manifest_key,
+            "n_canonical_triples": n_triples,
+        }))
     wall = time.time() - t0
-    n_triples = spark.read.parquet(str(out / "triples_canonical")).count()
     run_stats = {
         "buckets_total": n_buckets,
         "buckets_skipped": done,
         "buckets_ran": ran,
+        "global_phase": "skipped" if global_skipped else "ran",
         "n_canonical_triples": n_triples,
         "wall_sec": round(wall, 3),
     }
