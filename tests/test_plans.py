@@ -175,3 +175,31 @@ def test_salted_join_rejects_right_and_full_outer(spark):
             salted_join(big, small, "key", how=how)
     # left family still allowed (unmatched BIG rows are salt-unique)
     assert salted_join(big, small, "key", how="left").count() == 1
+
+
+def test_ivf_assign_inline_is_join_and_shuffle_free(spark):
+    """The IVF build path computes list_id IN the vector scan's Arrow
+    pass: no self-join, no Exchange before the clustering repartition —
+    at 10^9 vectors a join of the table against its own assignment
+    would shuffle the fat embedding column twice."""
+    import numpy as np
+
+    from tortank_spark.similarity import ivf_assign_inline
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), float(i % 3)]) for i in range(64)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = np.array([[0.0, 0.0], [32.0, 1.0], [63.0, 2.0]])
+    assigned = ivf_assign_inline(emb, "embedding", cents)
+    plan = plan_of(assigned)
+    assert "Join" not in plan and "Exchange" not in plan
+    rows = assigned.collect()
+    assert len(rows) == 64
+    assert set(rows[0].asDict()) == {"vec_id", "embedding", "list_id"}
+    # nearest-centroid semantics match the (id, list) variant
+    from tortank_spark.similarity import ivf_assign
+
+    want = {r["vec_id"]: r["list_id"]
+            for r in ivf_assign(emb, "embedding", cents).collect()}
+    assert {r["vec_id"]: r["list_id"] for r in rows} == want

@@ -284,6 +284,33 @@ def ivf_assign(
     return df.select(id_col, vec_col).mapInPandas(gen, schema=schema)
 
 
+def ivf_assign_inline(
+    df: DataFrame, vec_col: str, centroids: np.ndarray
+) -> DataFrame:
+    """All of ``df``'s columns + ``list_id``, computed IN the same
+    Arrow pass (no join): the build-path variant of ``ivf_assign``.
+    At 10^9 vectors this is the difference between one narrow map stage
+    and a full shuffle join of the vector table against its own
+    assignment."""
+    cent = centroids.astype(np.float64)
+    cnorm = (cent ** 2).sum(axis=1)
+    schema = StructType(
+        list(df.schema.fields) + [StructField("list_id", LongType(), False)]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mat = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col].values]
+            )
+            d = cnorm[None, :] - 2.0 * (mat @ cent.T)
+            out = pdf.copy()
+            out["list_id"] = d.argmin(axis=1)
+            yield out
+
+    return df.mapInPandas(gen, schema=schema)
+
+
 def ivf_topk(
     df: DataFrame, vec_col: str, query: list, k: int = 10,
     n_centroids: int = 16, n_probes: int = 4, id_col: str = "vec_id",
@@ -330,10 +357,10 @@ def ivf_build(
     from pathlib import Path as _Path
 
     centroids = kmeans_centroids(df, vec_col, n_centroids)
-    assigned = ivf_assign(df, vec_col, centroids, id_col)
-    # one equi-join attaches list_id; the write clusters by it
+    # list_id is computed inline in one Arrow pass — no self-join; the
+    # only shuffle is the clustering repartition before the write
     (
-        df.join(assigned, id_col)
+        ivf_assign_inline(df, vec_col, centroids)
         .repartition(n_centroids, F.col("list_id"))
         .write.mode("overwrite")
         .partitionBy("list_id")
