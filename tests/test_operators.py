@@ -686,3 +686,85 @@ def test_ivf_build_once_index_prunes_io(spark, tmp_path):
         emb, "embedding", query, 5, n_centroids=8, n_probes=2,
         centroids=cents).collect()]
     assert got == want
+
+
+def test_multimodal_codec_edge_cases():
+    """Container-format corners the fixture table doesn't hit: BMP
+    top-down (negative height), PPM comment headers, WAV with extra
+    RIFF chunks, truncation -> ValueError, unknown magic ->
+    UnsupportedMediaFormat, and box-resize invariants (constant rasters
+    stay constant under up- and downsampling; weight rows sum to 1)."""
+    import numpy as np
+    import pytest as pt
+    import struct as st_
+
+    from tortank_spark.multimodal import (
+        UnsupportedMediaFormat, _box_weights, box_resize, decode_bmp,
+        decode_ppm, decode_wav, encode_bmp, encode_ppm, encode_wav,
+    )
+
+    arr = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+
+    # BMP top-down: negative biHeight, raster stored top-first
+    blob = bytearray(encode_bmp(arr))
+    h = st_.unpack_from("<i", blob, 22)[0]
+    st_.pack_into("<i", blob, 22, -h)
+    stride = (6 * 3 + 3) & ~3
+    raster = np.zeros((4, stride), dtype=np.uint8)
+    raster[:, : 6 * 3] = arr[:, :, ::-1].reshape(4, 6 * 3)  # BGR, top-down
+    blob[54:] = raster.tobytes()
+    assert (decode_bmp(bytes(blob)) == arr).all()
+
+    # PPM comment lines inside the header
+    ppm = b"P6\n# a comment\n6 # inline\n4\n# another\n255\n" + arr.tobytes()
+    assert (decode_ppm(ppm) == arr).all()
+
+    # WAV with a LIST chunk before data, odd-size chunk padding
+    samples = np.arange(-8, 8, dtype=np.int16)
+    wav = encode_wav(samples, 8000)
+    hdr, fmtchunk, data = wav[:12], wav[12:36], wav[36:]
+    extra = b"LIST" + st_.pack("<I", 5) + b"INFOx" + b"\x00"  # padded odd chunk
+    got, rate = decode_wav(hdr[:4] + st_.pack("<I", len(hdr) - 8) + hdr[8:]
+                           + fmtchunk + extra + data)
+    assert rate == 8000 and (got == samples).all()
+
+    # truncation of a supported container is a ValueError (-> 'error'
+    # rows in extract_features), unknown magic is UnsupportedMediaFormat
+    with pt.raises(ValueError):
+        decode_ppm(encode_ppm(arr)[:-5])
+    with pt.raises(ValueError):
+        decode_bmp(encode_bmp(arr)[:-5])
+    with pt.raises(ValueError):
+        decode_wav(encode_wav(samples, 8000)[:20])
+    with pt.raises(UnsupportedMediaFormat):
+        decode_ppm(b"\xff\xd8\xffjpeg-ish")
+    with pt.raises(UnsupportedMediaFormat):
+        decode_wav(b"OggS...")
+
+    # box-resize invariants
+    const = np.full((5, 7, 3), 77, dtype=np.uint8)
+    assert (box_resize(const, 16, 3) == 77).all()   # downsample y, upsample x
+    assert (box_resize(const, 2, 11) == 77).all()
+    for src, dst in [(5, 2), (2, 5), (7, 7)]:
+        w = _box_weights(src, dst)
+        assert np.allclose(w.sum(axis=1), 1.0)
+    # identity resize is exact
+    assert (box_resize(arr, 6, 4) == arr).all()
+
+
+def test_multimodal_feature_error_rows(spark):
+    """A corrupt blob in a supported container yields decode_ok='error'
+    with NULL features — the job never fails."""
+    from tortank_spark.multimodal import MEDIA_SCHEMA, extract_features
+
+    rows = [
+        (0, "sha-bad-ppm", "image", bytearray(b"P6\n4 3\n255\nshort"),
+         4, 3, None),
+        (1, "sha-bad-wav", "audio",
+         bytearray(b"RIFF\x10\x00\x00\x00WAVEtrunc"), None, None, 10),
+    ]
+    out = {r["content_sha256"]: r for r in
+           extract_features(spark.createDataFrame(rows, MEDIA_SCHEMA)).collect()}
+    assert out["sha-bad-ppm"]["decode_ok"] == "error"
+    assert out["sha-bad-ppm"]["feature"] is None
+    assert out["sha-bad-wav"]["decode_ok"] == "error"

@@ -158,7 +158,11 @@ def decode_wav(blob: bytes) -> tuple[np.ndarray, int]:
     while pos + 8 <= len(blob):
         cid, size = blob[pos : pos + 4], struct.unpack_from("<I", blob, pos + 4)[0]
         body = blob[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError(f"truncated WAV chunk {cid!r}")
         if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("short WAV fmt chunk")
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":
             data = body
