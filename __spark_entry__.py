@@ -729,7 +729,7 @@ def _q_ivf_ann(spark, sf_dir):
     return ivf_recall_report(
         spark, emb.filter(F.col("vec_id") != 0), "embedding",
         [float(x) for x in q], index_dir,
-        k=10, n_centroids=16, n_probes=6, recall_floor=0.5,
+        k=10, n_centroids=16, n_probes=8, recall_floor=0.5,
     )
 
 
