@@ -441,7 +441,10 @@ def _q_minhash_neardup(spark, sf_dir):
     row certifies banding recall 1.0 on every true pair of this corpus:
     all true pairs sit at J >= 0.8 (verified against the exact oracle —
     none fall in [0.5, 0.8) where 16x4 banding recall would be
-    probabilistic), and at J >= 0.8 the miss probability is ~4e-8."""
+    probabilistic). Per-pair miss probability (1 - J^4)^16: ~2e-4 at
+    the J=0.8 boundary (the corpus's single boundary pair is verified
+    to collide under the shipped seed — deterministic, not a gamble),
+    falling to ~4e-8 by J~0.9 and ~2e-12 at J=0.95."""
     from tortank_spark.dedup import (
         lsh_candidate_pairs, minhash_signatures, ngram_jaccard_pairs,
     )
@@ -459,8 +462,10 @@ def _q_minhash_verified(spark, sf_dir):
     """MinHash-LSH candidates verified with EXACT 3-gram Jaccard and
     thresholded at 0.8 — the full dedup ladder. The DuckDB oracle
     computes exact Jaccard over ALL pairs, so a pass certifies LSH
-    recall = 1.0 on every true near-dup pair of the corpus (at J>=0.8
-    with 16 bands x 4 rows the per-pair miss probability is ~4e-8)."""
+    recall = 1.0 on every true near-dup pair of the corpus (per-pair
+    miss probability (1 - J^4)^16 with 16 bands x 4 rows: ~2e-4 at the
+    J=0.8 boundary — the corpus's boundary pair collides under the
+    shipped seed, deterministically — and ~4e-8 by J~0.9)."""
     from tortank_spark.dedup import (
         lsh_candidate_pairs, minhash_signatures, ngram_jaccard_pairs,
     )
@@ -715,10 +720,11 @@ def _q_ivf_ann(spark, sf_dir):
     the table partitioned by list_id; ivf_topk_indexed reads only the
     probed list directories), materialized as a deterministic
     assertion row: recall@10 vs the exact scorer over the pinned floor
-    AND the probe's scan certified partition-pruned (inputFiles()
-    restricted to probed lists). Semantics additionally pinned by
-    test_ivf_ann_planted_clusters (exact recovery on clustered data;
-    full-probe == exact)."""
+    AND the probe's scan certified partition-pruned (the executed
+    scan's input_file_name audit restricted to probed lists). Semantics
+    additionally pinned by test_ivf_ann_planted_clusters (exact
+    recovery on clustered data; full-probe == exact)."""
+    import shutil
     import tempfile
 
     from tortank_spark.similarity import ivf_recall_report
@@ -726,11 +732,18 @@ def _q_ivf_ann(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
     index_dir = tempfile.mkdtemp(prefix="ivf_index_")
-    return ivf_recall_report(
-        spark, emb.filter(F.col("vec_id") != 0), "embedding",
-        [float(x) for x in q], index_dir,
-        k=10, n_centroids=16, n_probes=8, recall_floor=0.5,
-    )
+    try:
+        # the report row is fully materialized (locally-built 1-row DF),
+        # so the on-disk index can be dropped before returning — without
+        # this, repeated driver/warmup invocations accumulate a full
+        # embeddings copy in /tmp per call
+        return ivf_recall_report(
+            spark, emb.filter(F.col("vec_id") != 0), "embedding",
+            [float(x) for x in q], index_dir,
+            k=10, n_centroids=16, n_probes=8, recall_floor=0.5,
+        )
+    finally:
+        shutil.rmtree(index_dir, ignore_errors=True)
 
 
 def _q_events_windowed(spark, sf_dir):

@@ -301,7 +301,6 @@ def test_multimodal_feature_plumbing(spark):
     from tortank_spark.multimodal import extract_features, make_media_table
 
     media = make_media_table(spark, n=9)
-    feats = {r["media_type"]: [] for r in []} or {}
     rows = extract_features(media).collect()
     assert len(rows) == 9
     by_type = {}
@@ -768,3 +767,40 @@ def test_multimodal_feature_error_rows(spark):
     assert out["sha-bad-ppm"]["decode_ok"] == "error"
     assert out["sha-bad-ppm"]["feature"] is None
     assert out["sha-bad-wav"]["decode_ok"] == "error"
+
+
+def test_multimodal_unsupported_variants_stub_not_error(spark):
+    """Recognized-but-unsupported container variants (32-bpp BMP, CRLF
+    PPM header) follow the documented contract: variants we have no
+    codec for fall back to the stub in BOTH extract_features and
+    resize_images (not 'error'), and a CRLF-separated PPM decodes the
+    raster unshifted."""
+    import struct as st_
+
+    import numpy as np
+
+    from tortank_spark.multimodal import (
+        MEDIA_SCHEMA, decode_ppm, encode_bmp, encode_ppm,
+        extract_features, resize_images,
+    )
+
+    arr = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    bmp32 = bytearray(encode_bmp(arr))
+    st_.pack_into("<H", bmp32, 28, 32)  # declare 32 bpp -> unsupported
+    crlf_ppm = b"P6\n3 2\n255\r\n" + arr.tobytes()
+    assert (decode_ppm(crlf_ppm) == arr).all()
+
+    media = spark.createDataFrame(
+        [(0, "sha-bmp32", "image", bmp32, 3, 2, None),
+         (1, "sha-crlf", "image", bytearray(crlf_ppm), 3, 2, None)],
+        MEDIA_SCHEMA,
+    )
+    feats = {r["content_sha256"]: r for r in extract_features(media).collect()}
+    assert feats["sha-bmp32"]["decode_ok"] == "stubbed"
+    assert feats["sha-crlf"]["decode_ok"] == "ok"
+    assert feats["sha-crlf"]["feature"][4] == 0.0   # min of 0..17
+    assert feats["sha-crlf"]["feature"][5] == 17.0  # max unshifted
+    rs = {r["content_sha256"]: r for r in
+          resize_images(media, width=2, height=2).collect()}
+    assert rs["sha-bmp32"]["decode_ok"] == "stubbed"  # was 'error' before
+    assert rs["sha-crlf"]["decode_ok"] == "ok"

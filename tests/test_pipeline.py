@@ -46,6 +46,18 @@ def test_pipeline_end_to_end_and_resume(spark, tmp_path):
     assert stats3["global_phase"] == "ran"
     assert stats3["n_canonical_triples"] == stats["n_canonical_triples"]
 
+    # crash-recovery: a PRIOR invocation re-ran a bucket (fresh run_id
+    # nonce in its manifest, possibly byte-identical stats otherwise)
+    # but died before the global phase. The next resume must NOT skip
+    # the global phase against the stale _GLOBAL.json key.
+    mpath = tmp_path / "kg" / "bucket=1" / "_MANIFEST.json"
+    m = json.loads(mpath.read_text())
+    m["run_id"] = "deadbeef" * 4  # what a crashed re-run left behind
+    mpath.write_text(json.dumps(m, indent=1))
+    stats4 = run_pipeline(spark, pages, out, n_buckets=2, alias_dict=alias)
+    assert stats4["buckets_ran"] == []          # manifest exists -> skip
+    assert stats4["global_phase"] == "ran"      # but key changed -> rerun
+
     # lineage: the broken page is quarantined with an error message
     lineage = spark.read.parquet(out + "/bucket=*/lineage")
     bad = lineage.filter(~F.col("parse_ok")).collect()

@@ -91,7 +91,13 @@ def decode_ppm(blob: bytes) -> np.ndarray:
         while pos < len(blob) and not blob[pos : pos + 1].isspace():
             pos += 1
         fields.append(int(blob[start:pos]))
-    pos += 1  # single whitespace after maxval
+    # the spec says ONE whitespace byte after maxval, but Windows
+    # text-mode writers emit CRLF; treating '\r\n' as one separator
+    # avoids silently decoding a one-byte-shifted raster as 'ok'
+    if blob[pos : pos + 2] == b"\r\n":
+        pos += 2
+    else:
+        pos += 1
     w, h, maxval = fields
     if maxval != 255:
         raise ValueError(f"unsupported PPM maxval {maxval}")
@@ -365,11 +371,18 @@ def resize_images(media: DataFrame, width: int = 64, height: int = 64) -> DataFr
                     continue
                 b = bytes(blob) if blob is not None else b""
                 try:
+                    # recognized-but-unsupported variants (e.g. 32-bpp
+                    # or RLE BMP) fall back to the stub, matching the
+                    # extract_features contract; only corrupt data in a
+                    # supported container becomes 'error'
                     arr = None
-                    if b.startswith(b"P6"):
-                        arr = decode_ppm(b)
-                    elif b.startswith(b"BM"):
-                        arr = decode_bmp(b)
+                    try:
+                        if b.startswith(b"P6"):
+                            arr = decode_ppm(b)
+                        elif b.startswith(b"BM"):
+                            arr = decode_bmp(b)
+                    except UnsupportedMediaFormat:
+                        arr = None
                     if arr is not None:
                         out = box_resize(arr, width, height).tobytes()
                         rows.append((sha, width, height, bytearray(out),

@@ -29,6 +29,7 @@ import argparse
 import json
 import os
 import time
+import uuid
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -49,7 +50,10 @@ def _manifest_key(out: Path, n_buckets: int) -> str:
     """Content hash over the full ordered set of bucket manifests —
     the resume key for the global canonicalization phase. Any bucket
     re-run in the CURRENT invocation also forces the global phase
-    (checked separately), so this key only gates pure resumes."""
+    (checked separately); re-runs in PRIOR crashed invocations are
+    caught because every manifest carries a fresh run_id nonce, so a
+    rewritten bucket always changes this key even when its stats are
+    byte-identical."""
     import hashlib
 
     h = hashlib.sha256()
@@ -116,10 +120,18 @@ def run_pipeline(
             done.append(b)
             continue
         bpath = pages_dir / f"_bucket={b}"
+        # every manifest carries a fresh run_id nonce: bucket stats are
+        # counts only, so two runs with different configs (e.g. a new
+        # alias_dict) can produce byte-identical stats — the nonce makes
+        # any bucket RE-RUN change the global phase's manifest_key, so a
+        # crash between a bucket rewrite and the global phase can never
+        # leave a stale triples_canonical behind a matching resume key
+        run_id = uuid.uuid4().hex
         if not bpath.exists():  # bucket got no pages: nothing to do
             manifest.parent.mkdir(parents=True, exist_ok=True)
             manifest.write_text(json.dumps(
-                {"docs": 0, "triples": 0, "parse_failures": 0}, indent=1
+                {"docs": 0, "triples": 0, "parse_failures": 0,
+                 "run_id": run_id}, indent=1
             ))
             ran.append(b)
             continue
@@ -131,6 +143,7 @@ def run_pipeline(
             alias_dict,
             min_link_score,
         )
+        stats["run_id"] = run_id
         manifest.write_text(json.dumps(stats, indent=1))
         ran.append(b)
     # global canonicalization over the union of bucket edge sidecars.

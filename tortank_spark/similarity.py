@@ -232,13 +232,17 @@ def kmeans_centroids(
     quantizer of an IVF index. The sample is tiny (the quantizer needs
     only the broad geometry), the loop is numpy; at 10^9+ vectors this
     is exactly how IVF training works in practice (train on a sample,
-    assign everything). Deterministic: seeded init, fixed iteration
-    count, ties broken by lowest centroid id (argmin). The sample is
-    lexsorted before the seeded init so the centroids do not depend on
-    collect() row order (task scheduling / partition-split config)."""
+    assign everything). Deterministic end to end: sample MEMBERSHIP is
+    a content-hash top-N (TakeOrdered over hash(vector) — a bare
+    limit() would pick whichever partitions answered first), sample
+    ORDER is a lexsort, init is seeded, iteration count fixed, ties
+    broken by lowest centroid id (argmin)."""
     sample = np.stack([
         np.asarray(r[0], dtype=np.float64)
-        for r in df.select(vec_col).limit(sample_rows).collect()
+        for r in df.select(vec_col)
+        .orderBy(F.hash(F.col(vec_col)).asc(), F.col(vec_col).asc())
+        .limit(sample_rows)
+        .collect()
     ])
     sample = sample[np.lexsort(sample.T[::-1])]
     rng = np.random.RandomState(seed)
@@ -257,31 +261,13 @@ def ivf_assign(
     df: DataFrame, vec_col: str, centroids: np.ndarray,
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """(id, list_id): nearest-centroid assignment, one matmul per Arrow
-    batch. At scale list_id is the partition/bucket key of the vector
-    table, so a probe is a partition-pruned scan."""
-    cent = centroids.astype(np.float64)
-    cnorm = (cent ** 2).sum(axis=1)
-    schema = StructType(
-        [
-            StructField(id_col, df.schema[id_col].dataType, False),
-            StructField("list_id", LongType(), False),
-        ]
-    )
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            mat = np.stack(
-                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col].values]
-            )
-            # argmin ||x-c||^2 = argmin (||c||^2 - 2 x.c)
-            d = cnorm[None, :] - 2.0 * (mat @ cent.T)
-            yield pd.DataFrame({
-                id_col: pdf[id_col].values,
-                "list_id": d.argmin(axis=1),
-            })
-
-    return df.select(id_col, vec_col).mapInPandas(gen, schema=schema)
+    """(id, list_id): nearest-centroid assignment. Delegates to
+    ivf_assign_inline (single source of truth for the metric) and
+    projects — at scale list_id is the partition/bucket key of the
+    vector table, so a probe is a partition-pruned scan."""
+    return ivf_assign_inline(
+        df.select(id_col, vec_col), vec_col, centroids
+    ).select(id_col, "list_id")
 
 
 def ivf_assign_inline(
