@@ -59,7 +59,7 @@ def test_connected_components_chain_and_star(spark):
     )
     got = {
         (r["iri"], r["canonical"])
-        for r in connected_components(edges).collect()
+        for r in connected_components(edges, driver_max_edges=0).collect()
     }
     assert got == {
         ("a", "a"), ("b", "a"), ("c", "a"), ("d", "a"),
@@ -98,7 +98,8 @@ def test_connected_components_random_vs_union_find(spark):
     got = {
         r["iri"]: r["canonical"]
         for r in connected_components(
-            spark.createDataFrame(edges, "src string, dst string")
+            spark.createDataFrame(edges, "src string, dst string"),
+            driver_max_edges=0,
         ).collect()
     }
     assert got == want
@@ -432,7 +433,7 @@ def test_connected_components_skewed_hub(spark):
     chain_edges = [(f"c{i:05d}", f"c{i+1:05d}") for i in range(200)]
     edges = spark.createDataFrame(hub_edges + chain_edges,
                                   "src string, dst string")
-    got = connected_components(edges).collect()
+    got = connected_components(edges, driver_max_edges=0).collect()
     comp = {r["iri"]: r["canonical"] for r in got}
     # hub component: min is "hub" (lexicographically < n00001)
     assert comp["hub"] == "hub"
@@ -804,3 +805,23 @@ def test_multimodal_unsupported_variants_stub_not_error(spark):
           resize_images(media, width=2, height=2).collect()}
     assert rs["sha-bmp32"]["decode_ok"] == "stubbed"  # was 'error' before
     assert rs["sha-crlf"]["decode_ok"] == "ok"
+
+
+def test_connected_components_driver_fastpath_equivalent(spark):
+    """The size-adaptive driver union-find fast path returns exactly
+    what the distributed star iteration returns on the same graph."""
+    import random
+
+    from tortank_spark.canonicalize import connected_components
+
+    rng = random.Random(29)
+    edges = spark.createDataFrame(
+        [(f"v{rng.randint(0, 80):03d}", f"v{rng.randint(0, 80):03d}")
+         for _ in range(120)],
+        "src string, dst string",
+    ).filter("src <> dst")
+    fast = {(r["iri"], r["canonical"])
+            for r in connected_components(edges).collect()}
+    dist = {(r["iri"], r["canonical"])
+            for r in connected_components(edges, driver_max_edges=0).collect()}
+    assert fast == dist and fast
