@@ -1,0 +1,97 @@
+"""TurtleDocFrame facade: 1:1 reference-API parity surface
+(turtle_doc.rs public methods) over the DataFrame operators."""
+
+import json
+
+import pytest
+
+from tortank_spark.doc import TurtleDocFrame
+
+DOC = """@prefix ex: <http://example.org/> .
+ex:alice ex:knows ex:bob ;
+         ex:age 33 ;
+         ex:name "Alice"@en .
+ex:bob ex:knows ex:alice .
+"""
+
+
+def test_from_string_query_and_len(spark):
+    d = TurtleDocFrame.from_string(spark, DOC)
+    assert len(d) == 4 and not d.is_empty()
+    # R1: canonical-value equality
+    rows = d.list_statements(s="http://example.org/alice").collect()
+    assert len(rows) == 3
+    # R2: Turtle-syntax terms resolved against the DOC's own prefixes
+    got = d.parse_and_list_statements(s="ex:alice", o='"33"^^<http://www.w3.org/2001/XMLSchema#integer>').collect()
+    assert len(got) == 1 and got[0]["p"] == "http://example.org/age"
+    # lang literal binding
+    assert d.parse_and_list_statements(o='"Alice"@en').count() == 1
+    # R7
+    assert d.all_subjects().count() == 2
+
+
+def test_parse_error_raises_like_reference(spark):
+    with pytest.raises(ValueError):
+        TurtleDocFrame.from_string(spark, "ex:alice ex:knows ex:bob .")  # unknown prefix
+    with pytest.raises(ValueError):
+        TurtleDocFrame.from_string(spark, DOC + "\ntrailing garbage")
+
+
+def test_set_algebra_and_add(spark):
+    d1 = TurtleDocFrame.from_string(spark, DOC)
+    d2 = TurtleDocFrame.from_string(
+        spark,
+        '@prefix ex: <http://example.org/> .\nex:bob ex:knows ex:alice .\n'
+        'ex:carol ex:knows ex:alice .',
+    )
+    assert len(d1.difference(d2)) == 3
+    assert len(d1.intersection(d2)) == 1
+    u = d1 + d2
+    assert len(u) == 5  # union dedups the shared triple
+    assert u.prefixes["ex"].startswith("http://example.org/")
+    # R6: duplicate insert is a no-op
+    row = ("http://example.org/alice", "iri", "http://example.org/knows",
+           "http://example.org/bob", "iri", None, None)
+    assert len(d1.add_statement(row)) == 4
+    new_row = ("http://example.org/alice", "iri", "http://example.org/knows",
+               "http://example.org/carol", "iri", None, None)
+    assert len(d1.add_statement(new_row)) == 5
+
+
+def test_add_prefixes_then_parse_terms(spark):
+    d = TurtleDocFrame.from_string(spark, DOC)
+    d2 = d.add_prefixes({"foaf": "http://example.org/"})
+    assert d2.parse_and_list_statements(s="foaf:alice").count() == 3
+
+
+def test_serialization_roundtrip(spark, tmp_path):
+    d = TurtleDocFrame.from_string(spark, DOC)
+    nt = d.to_ntriples_string()
+    assert nt.count("\n") == 3 and nt.endswith(" .") is False  # 4 lines
+    # reparse the rendering -> same triple set (reference fixture
+    # comparison semantics: set-difference empty both ways)
+    d2 = TurtleDocFrame.from_string(spark, nt)
+    assert len(d.difference(d2)) == 0 and len(d2.difference(d)) == 0
+    ttl = d.as_turtle()
+    # http://example.org/ is in the reference's built-in prefix table,
+    # so objects/predicates compact to ex: and the header declares it
+    assert "@prefix ex: <http://example.org/>." in ttl
+    assert "ex:knows ex:bob" in ttl
+    arr = json.loads(d.to_json_string())
+    assert len(arr) == 4 and {t["subject"]["type"] for t in arr} == {"uri"}
+    # file round-trip through the RDF/JSON array sink
+    p = str(tmp_path / "doc.json")
+    d.to_file(p, as_json=True)
+    d3 = TurtleDocFrame.from_rdf_json_file(spark, p)
+    assert len(d.difference(d3)) == 0 and len(d3.difference(d)) == 0
+
+
+def test_from_file_extension_check(spark, tmp_path):
+    f = tmp_path / "doc.ttl"
+    f.write_text(DOC)
+    d = TurtleDocFrame.from_file(spark, str(f))
+    assert len(d) == 4
+    bad = tmp_path / "doc.rdf"
+    bad.write_text(DOC)
+    with pytest.raises(ValueError, match="extension"):
+        TurtleDocFrame.from_file(spark, str(bad))
