@@ -9,3 +9,5 @@ with per-partition lineage/metrics.
 """
 
 __version__ = "0.1.0"
+
+from .doc import TurtleDocFrame  # noqa: E402,F401  (public API facade)
