@@ -450,7 +450,9 @@ def _q_minhash_neardup(spark, sf_dir):
     )
 
     docs = _t(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs, "doc_id")
+    # persist: the signature stage feeds both sides of the band
+    # self-join (without caching the Python stage runs twice)
+    sigs = minhash_signatures(docs, "doc_id").persist()
     cand = lsh_candidate_pairs(sigs, "doc_id")
     verified = ngram_jaccard_pairs(docs, cand, "doc_id")
     return verified.filter(F.col("jaccard") >= 0.5).select(
@@ -471,7 +473,7 @@ def _q_minhash_verified(spark, sf_dir):
     )
 
     docs = _t(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs, "doc_id")
+    sigs = minhash_signatures(docs, "doc_id").persist()
     cand = lsh_candidate_pairs(sigs, "doc_id")
     verified = ngram_jaccard_pairs(docs, cand, "doc_id")
     return verified.filter(F.col("jaccard") >= 0.8).select(

@@ -222,7 +222,12 @@ def minhash_dedup_pairs(
     bands: int = 16,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline -> (a, b, jaccard_est)."""
-    sigs = minhash_signatures(df, id_col, text_col, n_hashes)
+    # persist the signatures: they feed BOTH sides of the band
+    # self-join plus the estimate join — without caching, the Python
+    # signature stage re-runs 3-4x. At scale the signature table
+    # (n_hashes ints/doc, ~100x smaller than the text) is the thing
+    # you materialize; the text is scanned once
+    sigs = minhash_signatures(df, id_col, text_col, n_hashes).persist()
     pairs = lsh_candidate_pairs(sigs, id_col, bands)
     est = minhash_jaccard_estimate(sigs, pairs, id_col)
     return est.filter(F.col("jaccard_est") >= threshold)
