@@ -437,7 +437,11 @@ def embedding_neardup_lsh(
     # (boolean hit per row); this variant emits JOINABLE (id, key) rows
     # for the all-pairs case — keep the two in sync when changing the
     # plane seeding or key layout (_table_planes is the shared piece).
-    banded = emb.select(id_col, vec_col).mapInPandas(gen, schema=schema)
+    # persist: the banded keys feed both sides of the self-join —
+    # uncached, the Python bucketing stage runs twice
+    banded = emb.select(id_col, vec_col).mapInPandas(
+        gen, schema=schema
+    ).persist()
     l, r = banded.alias("l"), banded.alias("r")
     cand = (
         l.join(
