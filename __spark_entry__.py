@@ -451,13 +451,19 @@ def _q_minhash_neardup(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     # persist: the signature stage feeds both sides of the band
-    # self-join (without caching the Python stage runs twice)
+    # self-join; the candidate pairs feed the verify join plus both
+    # semi-join sides of the shingle narrowing. Materialize the small
+    # verified output, then release both caches (no leaked storage)
     sigs = minhash_signatures(docs, "doc_id").persist()
-    cand = lsh_candidate_pairs(sigs, "doc_id")
-    verified = ngram_jaccard_pairs(docs, cand, "doc_id")
-    return verified.filter(F.col("jaccard") >= 0.5).select(
-        "a", "b", F.round("jaccard", 4).alias("jaccard")
-    )
+    cand = lsh_candidate_pairs(sigs, "doc_id").persist()
+    try:
+        verified = ngram_jaccard_pairs(docs, cand, "doc_id")
+        return verified.filter(F.col("jaccard") >= 0.5).select(
+            "a", "b", F.round("jaccard", 4).alias("jaccard")
+        ).localCheckpoint(eager=True)
+    finally:
+        cand.unpersist()
+        sigs.unpersist()
 
 
 def _q_minhash_verified(spark, sf_dir):
@@ -474,11 +480,15 @@ def _q_minhash_verified(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     sigs = minhash_signatures(docs, "doc_id").persist()
-    cand = lsh_candidate_pairs(sigs, "doc_id")
-    verified = ngram_jaccard_pairs(docs, cand, "doc_id")
-    return verified.filter(F.col("jaccard") >= 0.8).select(
-        "a", "b", F.round("jaccard", 4).alias("jaccard")
-    )
+    cand = lsh_candidate_pairs(sigs, "doc_id").persist()
+    try:
+        verified = ngram_jaccard_pairs(docs, cand, "doc_id")
+        return verified.filter(F.col("jaccard") >= 0.8).select(
+            "a", "b", F.round("jaccard", 4).alias("jaccard")
+        ).localCheckpoint(eager=True)
+    finally:
+        cand.unpersist()
+        sigs.unpersist()
 
 
 def _minhash_truth_sql(threshold: float) -> str:
@@ -802,13 +812,30 @@ def _q_multimodal_features(spark, sf_dir):
     (media_id, byte index), so DuckDB regenerates every feature value
     bit-exactly — which pins the decoders end to end (Spark derives
     the same numbers from actual container BYTES, including BMP's
-    bottom-up BGR padded layout)."""
+    bottom-up BGR padded layout).
+
+    The feature vector is posexploded to one scalar row per element:
+    the driver's canonicalizer sorts/hashes scalar columns only (an
+    array<double> column is unhashable in its pandas sort), and the
+    per-element layout pins every value individually anyway."""
     from tortank_spark.multimodal import extract_features, make_media_table
 
     media = make_media_table(spark, n=32)
-    return extract_features(media).join(
+    feat = extract_features(media).join(
         media.select("media_id", "content_sha256"), "content_sha256"
-    ).select("media_id", "media_type", "feature", "decode_ok")
+    )
+    return feat.select(
+        "media_id",
+        "media_type",
+        F.posexplode("feature").alias("feat_idx", "feat_value"),
+        "decode_ok",
+    ).select(
+        "media_id",
+        "media_type",
+        F.col("feat_idx").cast("long").alias("feat_idx"),
+        "feat_value",
+        "decode_ok",
+    )
 
 
 # fixture formulas (multimodal.media_fixture_rows): image i%3=0 has
@@ -873,7 +900,10 @@ allf AS (
   UNION ALL
   SELECT i, feature, 'video', 'stubbed' FROM vfeat
 )
-SELECT i AS media_id, media_type, feature, decode_ok FROM allf
+SELECT i AS media_id, media_type,
+       generate_subscripts(feature, 1) - 1 AS feat_idx,
+       unnest(feature) AS feat_value, decode_ok
+FROM allf
 """
 
 

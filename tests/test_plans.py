@@ -96,6 +96,60 @@ def test_candidate_generators_never_cross_join(spark, maker):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_ngram_verify_shingles_candidates_only(spark):
+    """The shingle projection must sit ABOVE a LeftSemi narrowing join
+    on BOTH sides of the verify: shingles are computed for candidate
+    docs only, never the full corpus (at 10^9 docs with a ~1%
+    candidate rate the full-corpus projection is ~100x wasted compute
+    — the round-3 hot stage)."""
+    import re
+
+    from tortank_spark.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} alpha beta gamma") for i in range(8)],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "a long, b long")
+    opt = (
+        ngram_jaccard_pairs(docs, pairs, "doc_id")
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    # the optimized logical plan prints parents before children, so
+    # projection-above-join means array_distinct appears BEFORE its
+    # LeftSemi child; two sides -> two of each, interleaved
+    proj = [m.start() for m in re.finditer(r"array_distinct", opt)]
+    semi = [m.start() for m in re.finditer(r"Join LeftSemi", opt)]
+    assert len(semi) == 2, f"expected 2 semi-narrowing joins, got {len(semi)}"
+    assert proj[0] < semi[0] < proj[-1] < semi[1]
+
+
+def test_dedup_builders_release_their_caches(spark):
+    """minhash_dedup_pairs / embedding_neardup_lsh (eager default) must
+    unpersist their intermediate signature/bucket caches before
+    returning — only the small materialized output may stay pinned
+    (one localCheckpoint RDD per call)."""
+    from tortank_spark.dedup import embedding_neardup_lsh, minhash_dedup_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} tok{i+1} tok{i+2} tok{i+3}") for i in range(8)],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.5, float(i % 3)]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    jsc = spark.sparkContext._jsc
+    before = jsc.getPersistentRDDs().size()
+    minhash_dedup_pairs(docs, "doc_id", threshold=0.5).collect()
+    embedding_neardup_lsh(emb, threshold=0.99, dim=4).collect()
+    after = jsc.getPersistentRDDs().size()
+    assert after - before <= 2, (
+        f"leaked intermediate caches: {after - before} new persistent "
+        f"RDDs after two eager dedup builds (expected <= 2 checkpoints)"
+    )
+
+
 def test_union_dedup_single_shuffle(spark):
     """R5 union+dedup: exactly one exchange (the dedup shuffle) — the
     union itself must not add one."""

@@ -220,17 +220,35 @@ def minhash_dedup_pairs(
     threshold: float = 0.7,
     n_hashes: int = 64,
     bands: int = 16,
+    eager: bool = True,
 ) -> DataFrame:
-    """Full MinHash-LSH near-dup pipeline -> (a, b, jaccard_est)."""
-    # persist the signatures: they feed BOTH sides of the band
-    # self-join plus the estimate join — without caching, the Python
-    # signature stage re-runs 3-4x. At scale the signature table
-    # (n_hashes ints/doc, ~100x smaller than the text) is the thing
-    # you materialize; the text is scanned once
-    sigs = minhash_signatures(df, id_col, text_col, n_hashes).persist()
-    pairs = lsh_candidate_pairs(sigs, id_col, bands)
-    est = minhash_jaccard_estimate(sigs, pairs, id_col)
-    return est.filter(F.col("jaccard_est") >= threshold)
+    """Full MinHash-LSH near-dup pipeline -> (a, b, jaccard_est).
+
+    Cache lifetime: the signature table feeds BOTH sides of the band
+    self-join plus the estimate join — without caching, the Python
+    signature stage re-runs 3-4x. With ``eager`` (default) the small
+    pair output is materialized (localCheckpoint) and the signature
+    cache is released before returning, so repeated calls in a
+    long-lived session cannot accumulate executor storage. At scale
+    the signature table (n_hashes ints/doc, ~100x smaller than the
+    text) is the thing you materialize; pass ``eager=False`` only if
+    you write the result out yourself in the same job — the caller
+    then owns the cache lifetime of the whole plan."""
+    sigs = minhash_signatures(df, id_col, text_col, n_hashes)
+    if not eager:
+        pairs = lsh_candidate_pairs(sigs, id_col, bands)
+        est = minhash_jaccard_estimate(sigs, pairs, id_col)
+        return est.filter(F.col("jaccard_est") >= threshold)
+    sigs = sigs.persist()
+    try:
+        pairs = lsh_candidate_pairs(sigs, id_col, bands)
+        est = minhash_jaccard_estimate(sigs, pairs, id_col)
+        out = est.filter(F.col("jaccard_est") >= threshold)
+        # near-dup pairs are orders of magnitude smaller than the
+        # corpus — materializing them is how the cache gets released
+        return out.localCheckpoint(eager=True)
+    finally:
+        sigs.unpersist()
 
 
 def simhash_signatures(
@@ -397,6 +415,7 @@ def embedding_neardup_pairs(
 def embedding_neardup_lsh(
     emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
     threshold: float = 0.9, n_bits: int = 8, n_tables: int = 12,
+    dim: int | None = None, eager: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-dup, scale tier: candidate pairs share a
     hyperplane-LSH bucket in ANY of L tables (never a cross join —
@@ -405,13 +424,15 @@ def embedding_neardup_lsh(
     (1 - theta/pi)^b, so recall at a given cosine is 1-(1-p^b)^L;
     n_bits scales with log(n) to bound bucket population, n_tables is
     the recall knob. Candidates are a strict subset of the brute-force
-    pairs (property-tested)."""
+    pairs (property-tested).
+
+    ``dim``: vector dimensionality. When None, the (seeded,
+    deterministic) plane matrices are built lazily inside the Arrow
+    stage from the first batch — no driver-side ``first()`` job.
+    ``eager`` (default): materialize the small pair output and release
+    the bucket-table cache before returning (see minhash_dedup_pairs)."""
     from .similarity import _table_planes
 
-    dim = len(emb.select(vec_col).first()[0])
-    planes = np.concatenate(
-        [_table_planes(dim, n_bits, t) for t in range(n_tables)], axis=0
-    )
     weights = 1 << np.arange(n_bits, dtype=np.int64)
     schema = StructType(
         [
@@ -420,11 +441,23 @@ def embedding_neardup_lsh(
         ]
     )
 
+    def _planes(d: int) -> np.ndarray:
+        return np.concatenate(
+            [_table_planes(d, n_bits, t) for t in range(n_tables)], axis=0
+        )
+
+    planes0 = _planes(dim) if dim is not None else None
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        planes = planes0
         for pdf in batches:
+            if not len(pdf):
+                continue
             mat = np.stack(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col].values]
             )
+            if planes is None:  # seeded -> identical across all tasks
+                planes = _planes(mat.shape[1])
             bits = (mat @ planes.T).reshape(len(mat), n_tables, n_bits) > 0
             buckets = (bits.astype(np.int64) * weights).sum(axis=2)
             # disjoint key space per table: key = table * 2^b + bucket
@@ -439,9 +472,9 @@ def embedding_neardup_lsh(
     # plane seeding or key layout (_table_planes is the shared piece).
     # persist: the banded keys feed both sides of the self-join —
     # uncached, the Python bucketing stage runs twice
-    banded = emb.select(id_col, vec_col).mapInPandas(
-        gen, schema=schema
-    ).persist()
+    banded = emb.select(id_col, vec_col).mapInPandas(gen, schema=schema)
+    if eager:
+        banded = banded.persist()
     l, r = banded.alias("l"), banded.alias("r")
     cand = (
         l.join(
@@ -454,12 +487,18 @@ def embedding_neardup_lsh(
     )
     # exact cosine on CANDIDATES only (two hash joins + codegen math)
     va, vb, cos = _cosine_pair_sides(emb, id_col, vec_col)
-    return (
+    out = (
         cand.join(va, "a").join(vb, "b")
         .withColumn("cosine", cos)
         .filter(F.col("cosine") >= threshold)
         .select("a", "b", F.round("cosine", 6).alias("cosine"))
     )
+    if not eager:
+        return out
+    try:
+        return out.localCheckpoint(eager=True)
+    finally:
+        banded.unpersist()
 
 
 def ngram_jaccard_pairs(
@@ -468,7 +507,20 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram (word-shingle) Jaccard on candidate pairs — the
     verification stage. JVM-side: shingle arrays via transform over a
-    token sequence, intersection/union sizes via array functions."""
+    token sequence, intersection/union sizes via array functions.
+
+    Only CANDIDATE docs are shingled: df is semi-joined against the
+    distinct ids appearing in ``pairs`` BEFORE the shingle projection.
+    At 10^9 docs with a ~1% candidate rate, shingling the full corpus
+    on both join sides would be ~100x wasted compute + shuffle width
+    (the round-3 hot stage). ``pairs`` is referenced three times (the
+    pair join + both semi-join sides) — pass a persisted/materialized
+    pairs DF so its subtree isn't recomputed."""
+    cand_ids = (
+        pairs.select(F.col("a").alias(id_col))
+        .union(pairs.select(F.col("b").alias(id_col)))
+        .distinct()
+    )
     toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
                     lambda t: t != "")
     sh = F.when(
@@ -481,7 +533,9 @@ def ngram_jaccard_pairs(
             ),
         )
     )
-    with_sh = df.select(F.col(id_col), F.array_distinct(sh).alias("_sh"))
+    with_sh = df.join(cand_ids, id_col, "semi").select(
+        F.col(id_col), F.array_distinct(sh).alias("_sh")
+    )
     a = with_sh.select(F.col(id_col).alias("a"), F.col("_sh").alias("_sha"))
     b = with_sh.select(F.col(id_col).alias("b"), F.col("_sh").alias("_shb"))
     j = pairs.join(a, "a").join(b, "b")
