@@ -315,3 +315,32 @@ def test_seed_prefixes_external_map():
     # unknown prefix without a seed is still a doc error
     _, err = parse_document('foaf:a foaf:p "x" .')
     assert err is not None and "foaf" in err
+
+
+def test_datetime_offset_preserving_flag():
+    """preserve_datetime_offset matches chrono to_rfc3339 byte-exactly
+    on non-UTC values (turtle_doc.rs:1225-1231 keeps the value's own
+    offset); the DEFAULT still canonicalizes to the UTC instant with Z
+    (same chrono equality class) — behavior unchanged."""
+    from tortank_spark.grammar.turtle import parse_document
+
+    xsd_dt = "<http://www.w3.org/2001/XMLSchema#dateTime>"
+
+    def doc(lex):
+        return f'<http://e.org/s> <http://e.org/p> "{lex}"^^{xsd_dt} .'
+
+    # default: UTC Z canonicalization (round-3 behavior, pinned)
+    trips, err = parse_document(doc("2024-03-05T10:20:30.400+02:00"))
+    assert err is None and trips[0][3] == "2024-03-05T08:20:30.400Z"
+
+    # flag on: the value keeps its OWN offset; Z only for zero offset
+    # (chrono to_rfc3339_opts(Millis, use_z=true))
+    for lex, want in [
+        ("2024-03-05T10:20:30.400+02:00", "2024-03-05T10:20:30.400+02:00"),
+        ("2024-03-05T10:20:30.4-05:30", "2024-03-05T10:20:30.400-05:30"),
+        ("2024-03-05T10:20:30+00:00", "2024-03-05T10:20:30.000Z"),
+        ("2024-03-05T10:20:30.400Z", "2024-03-05T10:20:30.400Z"),
+    ]:
+        trips, err = parse_document(doc(lex), preserve_datetime_offset=True)
+        assert err is None, (lex, err)
+        assert trips[0][3] == want, (lex, trips[0][3], want)

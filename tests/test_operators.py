@@ -825,3 +825,66 @@ def test_connected_components_driver_fastpath_equivalent(spark):
     dist = {(r["iri"], r["canonical"])
             for r in connected_components(edges, driver_max_edges=0).collect()}
     assert fast == dist and fast
+    # the BYTE gate alone must also force the distributed path (long
+    # web IRIs: row count under-estimates driver memory) — same result
+    bytegated = {(r["iri"], r["canonical"])
+                 for r in connected_components(
+                     edges, driver_max_bytes=0).collect()}
+    assert bytegated == fast
+
+
+def test_ntriples_golden_bytes_offset_preserved_datetime(spark):
+    """An offset-preserved dateTime (preserve_datetime_offset mode) is
+    still recognized as a coerced NATIVE literal by the serializer and
+    renders with the plain '"' pair + ^^<dt> — golden bytes matching
+    the reference's Display of a chrono to_rfc3339 value
+    (turtle_doc.rs:1212-1238)."""
+    from tortank_spark.serialize import to_ntriples
+
+    xsd_dt = "http://www.w3.org/2001/XMLSchema#dateTime"
+    rows = [
+        ("http://e.org/s", "iri", "http://e.org/p",
+         "2024-03-05T10:20:30.400+02:00", "literal", xsd_dt, None),
+        ("http://e.org/s", "iri", "http://e.org/p",
+         "2024-03-05T08:20:30.400Z", "literal", xsd_dt, None),
+    ]
+    lines = sorted(
+        r["value"] for r in to_ntriples(make_triples(spark, rows)).collect()
+    )
+    assert lines == [
+        '<http://e.org/s> <http://e.org/p> '
+        f'"2024-03-05T08:20:30.400Z"^^<{xsd_dt}>.',
+        '<http://e.org/s> <http://e.org/p> '
+        f'"2024-03-05T10:20:30.400+02:00"^^<{xsd_dt}>.',
+    ]
+
+
+def test_mm_resize_fixture_rounding_margin():
+    """The mm_resize oracle compares floor(sum + 0.5) byte checksums
+    across two engines whose float summation ORDER differs (DuckDB
+    aggregate vs numpy einsum). That is only deterministic if no
+    pre-rounded cell sum sits near a half-integer tie. Pin the margin:
+    every cell of the fixture must be > 1e-6 away from a tie (measured
+    0.0143 for the shipped fixture) — a fixture change that introduces
+    a tie fails HERE, not as a flaky driver hash mismatch."""
+    import numpy as np
+
+    from tortank_spark.multimodal import (
+        _box_weights, decode_bmp, decode_ppm, media_fixture_rows,
+    )
+
+    min_margin = 1.0
+    for i, sha, kind, blob, w, h, dur in media_fixture_rows(32):
+        if kind != "image":
+            continue
+        b = bytes(blob)
+        arr = decode_ppm(b) if b.startswith(b"P6") else decode_bmp(b)
+        wy = _box_weights(arr.shape[0], 8)
+        wx = _box_weights(arr.shape[1], 16)
+        acc = np.einsum("Yy,yxc,Xx->YXc", wy, arr.astype(np.float64), wx)
+        margin = float(np.abs((acc % 1.0) - 0.5).min())
+        min_margin = min(min_margin, margin)
+    assert min_margin > 1e-6, (
+        f"resize fixture has a near-tie cell sum (margin {min_margin}); "
+        "floor(sum+0.5) checksums would be engine-order-sensitive"
+    )

@@ -19,6 +19,10 @@ asserted to fail FOR ONE OF THESE REASONS, never silently skipped:
    (SPECIAL_TTL_RDF_TYPE_PREFIX, turtle_doc.rs:113-118), including in
    OBJECT position (`rdf:predicate a;` in reified statements), where
    bare `a` is not legal Turtle.
+
+All statuses are computed ONCE in a module-scoped fixture (not via
+cross-test global state), so the suite is order-independent and safe
+under xdist / --random-order / -k selection.
 """
 
 import re
@@ -39,8 +43,6 @@ _NUM = {
     "http://www.w3.org/2001/XMLSchema#decimal",
     "http://www.w3.org/2001/XMLSchema#double",
 }
-
-_RESULTS: list[str] = []
 
 
 def _norm(t):
@@ -98,35 +100,48 @@ def _numeric_before_terminator(ttl: str) -> bool:
     return re.search(r"[ \t][+-]?\d[\d.eE+-]*\.\n", ttl) is not None
 
 
-@pytest.mark.parametrize("path", FIXTURES, ids=lambda p: p.stem)
-def test_as_turtle_reparse_round_trip(spark, path):
+def _round_trip_status(spark, path) -> tuple[str, str]:
+    """One fixture's round-trip outcome: (status, detail)."""
     triples, err = parse_document(path.read_text())
     if err or not triples:
-        _RESULTS.append("unparseable")
-        pytest.skip(f"fixture does not parse clean: {err}")
+        return "unparseable", str(err)
     df = spark.createDataFrame([("u", *t) for t in triples], TRIPLE_SCHEMA)
     ttl = turtle_document(df)
     re_triples, re_err = parse_document(ttl)
     lossy = _doc_lossy(triples)
     if re_err is not None:
         # must be attributable to a reference-faithful ambiguity
-        assert (
-            lossy
-            or _numeric_before_terminator(ttl)
-            or _rdf_type_as_object(triples)
-        ), (re_err, ttl[:400])
-        _RESULTS.append("ambiguous")
-        return
+        if (lossy or _numeric_before_terminator(ttl)
+                or _rdf_type_as_object(triples)):
+            return "ambiguous", str(re_err)
+        return "unattributed-error", f"{re_err} :: {ttl[:400]}"
     if lossy:
         # reparse succeeded but IRIs may have shifted — don't certify
-        _RESULTS.append("lossy-ok")
-        return
-    assert {_norm(t) for t in re_triples} == {_norm(t) for t in triples}
-    _RESULTS.append("full")
+        return "lossy-ok", ""
+    if {_norm(t) for t in re_triples} != {_norm(t) for t in triples}:
+        got = {_norm(t) for t in re_triples}
+        want = {_norm(t) for t in triples}
+        return "mismatch", f"+{sorted(got - want)[:3]} -{sorted(want - got)[:3]}"
+    return "full", ""
 
 
-def test_round_trip_coverage_floor():
+@pytest.fixture(scope="module")
+def roundtrip_results(spark):
+    """All fixture statuses, computed once per module run."""
+    return {p.stem: _round_trip_status(spark, p) for p in FIXTURES}
+
+
+@pytest.mark.parametrize("stem", [p.stem for p in FIXTURES])
+def test_as_turtle_reparse_round_trip(roundtrip_results, stem):
+    status, detail = roundtrip_results[stem]
+    if status == "unparseable":
+        pytest.skip(f"fixture does not parse clean: {detail}")
+    assert status in ("full", "ambiguous", "lossy-ok"), (status, detail)
+
+
+def test_round_trip_coverage_floor(roundtrip_results):
     """Most of the corpus must take the FULL round-trip path — guards
     against the ambiguity clause quietly swallowing the suite if the
     prefix table, fixtures, or scanner change."""
-    assert _RESULTS.count("full") >= 24, _RESULTS
+    statuses = [s for s, _ in roundtrip_results.values()]
+    assert statuses.count("full") >= 24, statuses

@@ -114,15 +114,19 @@ def _driver_union_find(spark, edges: DataFrame) -> DataFrame:
 def connected_components(
     edges: DataFrame, max_rounds: int = 50,
     driver_max_edges: int = 1_000_000,
+    driver_max_bytes: int = 128 << 20,
 ) -> DataFrame:
     """edges(src,dst) -> (iri, canonical), canonical = lexicographic min
-    of the component. Size-adaptive: edge sets at or below
-    ``driver_max_edges`` (known from the convergence signature's count,
-    no extra job) run exact union-find on the driver; larger sets
-    alternate large-star/small-star to a fixpoint (validated against
-    union-find on randomized graphs in tests/test_operators.py — which
-    force the distributed path with driver_max_edges=0, plus an
-    equivalence test across both paths)."""
+    of the component. Size-adaptive: edge sets at or below BOTH
+    ``driver_max_edges`` rows and ``driver_max_bytes`` of id bytes
+    (both known from the convergence signature's aggregate, no extra
+    job) run exact union-find on the driver; larger sets alternate
+    large-star/small-star to a fixpoint (validated against union-find
+    on randomized graphs in tests/test_operators.py — which force the
+    distributed path with driver_max_edges=0, plus an equivalence test
+    across both paths). The byte gate matters for web IRIs: 1M edges
+    of 300-char URLs is ~600 MB of raw ids (several GB as Python
+    objects) — row count alone under-gates."""
     def _sig(df):
         # set signature: (count, order-independent xor of row hashes).
         # Both edge sets are distinct-ified, so equal signatures mean
@@ -138,14 +142,22 @@ def connected_components(
     # LAZY localCheckpoint: the signature aggregate is the action that
     # materializes it, so each round costs ONE Spark job, not two (the
     # checkpoint still truncates lineage — without it the iterative
-    # plan grows exponentially and kills the driver at analysis time)
+    # plan grows exponentially and kills the driver at analysis time).
+    # The first aggregate additionally sums id lengths for the
+    # driver-path byte gate (same job, one extra partial-agg column).
     cur = _orient(edges).localCheckpoint(eager=False)
-    cur_sig = _sig(cur)
+    first = cur.agg(
+        F.count("*").alias("n"),
+        F.expr("bit_xor(xxhash64(src, dst))").alias("x"),
+        F.sum(F.length("src") + F.length("dst")).alias("b"),
+    ).collect()[0]
+    cur_sig = (first["n"], first["x"])
     if cur_sig[0] == 0:
         return edges.sparkSession.createDataFrame(
             [], "iri string, canonical string"
         )
-    if cur_sig[0] <= driver_max_edges:
+    if (cur_sig[0] <= driver_max_edges
+            and int(first["b"] or 0) <= driver_max_bytes):
         return _driver_union_find(edges.sparkSession, cur)
     for _ in range(max_rounds):
         nxt = _small_star(_large_star(cur)).localCheckpoint(eager=False)

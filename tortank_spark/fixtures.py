@@ -114,15 +114,47 @@ def _filler_text(i: int) -> str:
     return "\n".join(parts)
 
 
+def _big_page_text(n_stmts: int = 8000) -> str:
+    """One multi-MB document (~1.9 MB, 2*n_stmts triples). Real crawls
+    carry occasional huge embedded graphs; a corpus of uniform few-KB
+    docs never exercises the Arrow batch-memory edge the multimodal
+    docstring warns about (batch bytes = rows x text size), nor the
+    per-task skew one fat doc induces."""
+    parts = ["@prefix ex: <http://example.org/big#> .\n"]
+    for n in range(n_stmts):
+        pad = f"padding-{n:06d}-" + "x" * 180
+        parts.append(
+            f'ex:s{n} ex:prop{n % 7} "{pad}" ;\n    ex:rank {n} .\n'
+        )
+    return "".join(parts)
+
+
+def _bnode_heavy_text(n: int = 2000) -> str:
+    """A pathological blank-node-heavy document: ~3 anon bnodes per
+    statement group (nested + list-valued) plus a labeled-bnode chain —
+    stresses the per-doc bnode counter, nested-anon recursion, and the
+    salted-label layout at realistic-worst-case density."""
+    parts = ["@prefix ex: <http://example.org/bn#> .\n"]
+    for k in range(n):
+        parts.append(
+            f"ex:owner{k} ex:holds [ ex:idx {k} ; ex:child "
+            f'[ ex:leaf "v{k}" ] ] , [ ex:alt {k} ] .\n'
+            f"_:b{k} ex:next _:b{k + 1} ; ex:val {k} .\n"
+        )
+    return "".join(parts)
+
+
 def make_pages(
     spark: SparkSession,
     n_pages: int = 64,
     n_partitions: int = 8,
     include_broken: bool = True,
+    include_heavy: bool = True,
 ) -> DataFrame:
     """Build the synthetic page table. The first rows embed the 32
-    reference fixture docs verbatim; the rest are deterministic filler;
-    optionally one broken page exercises the quarantine path."""
+    reference fixture docs verbatim; then (optionally) one broken page
+    for the quarantine path and two heavy pages — a multi-MB doc and a
+    bnode-dense doc — then deterministic filler up to n_pages."""
     rows = []
     i = 0
     for case, text in fixture_texts().items():
@@ -130,6 +162,13 @@ def make_pages(
         i += 1
     if include_broken:
         rows.append(_page_row("https://synth.example.org/broken/0", i, BROKEN_DOC))
+        i += 1
+    if include_heavy:
+        rows.append(_page_row("https://synth.example.org/big/0", i,
+                              _big_page_text()))
+        i += 1
+        rows.append(_page_row("https://synth.example.org/bnodes/0", i,
+                              _bnode_heavy_text()))
         i += 1
     while len(rows) < n_pages:
         rows.append(

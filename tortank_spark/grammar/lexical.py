@@ -151,13 +151,26 @@ def parse_instant(value: str, local_utc_offset_seconds: int = 0):
         return None
 
 
-def canonical_datetime(dt: datetime) -> str:
-    """UTC RFC3339 with milliseconds and Z — preserves chrono DateTime
+def canonical_datetime(dt: datetime, preserve_offset: bool = False) -> str:
+    """RFC3339 with milliseconds — preserves chrono DateTime
     instant-equality classes (reference Display uses
-    to_rfc3339_opts(Millis, true), src/turtle/turtle_doc.rs:1228-1235)."""
-    u = dt.astimezone(timezone.utc)
-    ms = u.microsecond // 1000
-    return f"{u.year:04d}-{u.month:02d}-{u.day:02d}T{u.hour:02d}:{u.minute:02d}:{u.second:02d}.{ms:03d}Z"
+    to_rfc3339_opts(Millis, true), src/turtle/turtle_doc.rs:1228-1235).
+
+    Default renders the UTC instant with ``Z``. ``preserve_offset``
+    matches chrono's to_rfc3339 byte-exactly on non-UTC values too:
+    the value keeps its OWN offset (``+02:00``), with ``Z`` only when
+    the offset is zero (chrono's use_z=true)."""
+    if not preserve_offset:
+        dt = dt.astimezone(timezone.utc)
+    ms = dt.microsecond // 1000
+    body = (f"{dt.year:04d}-{dt.month:02d}-{dt.day:02d}"
+            f"T{dt.hour:02d}:{dt.minute:02d}:{dt.second:02d}.{ms:03d}")
+    total = int((dt.utcoffset() or timedelta(0)).total_seconds())
+    if total == 0:
+        return body + "Z"
+    sign = "+" if total >= 0 else "-"
+    total = abs(total)
+    return f"{body}{sign}{total // 3600:02d}:{total % 3600 // 60:02d}"
 
 
 def canonical_date(dt: datetime) -> str:

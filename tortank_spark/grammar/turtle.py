@@ -178,7 +178,8 @@ class TurtleParser:
     def __init__(self, text: str, bnode_prefix: str = "",
                  local_utc_offset_seconds: int = 0,
                  seed_prefixes: Optional[dict] = None,
-                 well_known_prefix: Optional[str] = None):
+                 well_known_prefix: Optional[str] = None,
+                 preserve_datetime_offset: bool = False):
         self.s = text
         self.n = len(text)
         self.i = 0
@@ -197,6 +198,9 @@ class TurtleParser:
         self.bnode_prefix = bnode_prefix
         self.bnode_counter = 0
         self.local_off = local_utc_offset_seconds
+        # chrono's to_rfc3339 keeps the value's own offset
+        # (turtle_doc.rs:1225-1231); default canonicalizes to UTC Z
+        self.preserve_dt_offset = preserve_datetime_offset
         self.triples: list[tuple] = []
         self._seen: set[tuple] = set()
 
@@ -465,7 +469,7 @@ class TurtleParser:
             inst = parse_instant(value, self.local_off)
             if inst is not None:
                 canon = (
-                    canonical_datetime(inst)
+                    canonical_datetime(inst, self.preserve_dt_offset)
                     if dt == XSD_DATE_TIME
                     else canonical_date(inst)
                 )
@@ -989,6 +993,7 @@ def parse_document(
     text: str, bnode_prefix: str = "", local_utc_offset_seconds: int = 0,
     seed_prefixes: Optional[dict] = None,
     well_known_prefix: Optional[str] = None,
+    preserve_datetime_offset: bool = False,
 ):
     """Parse one Turtle/N-Triples document.
 
@@ -1005,7 +1010,8 @@ def parse_document(
     DEFAULT_WELL_KNOWN_PREFIX for the reference default, shared.rs:14).
     """
     p = TurtleParser(text, bnode_prefix, local_utc_offset_seconds,
-                     seed_prefixes, well_known_prefix)
+                     seed_prefixes, well_known_prefix,
+                     preserve_datetime_offset)
     try:
         return p.parse(), None
     except (DocError, CoercionError) as e:

@@ -174,7 +174,15 @@ def run_pipeline(
         cmap.write.mode("overwrite").parquet(str(cmap_dir))
         cmap = spark.read.parquet(str(cmap_dir))
         triples = spark.read.parquet(str(out / "bucket=*" / "triples"))
-        canonical = rewrite_canonical(triples, cmap)
+        # the output count rides on the write job itself (Observation
+        # metric) — re-reading triples_canonical just to count it is a
+        # second full scan of the largest table in the pipeline
+        from pyspark.sql import Observation
+
+        canon_obs = Observation("canonical_count")
+        canonical = rewrite_canonical(triples, cmap).observe(
+            canon_obs, F.count(F.lit(1)).alias("n")
+        )
         # partition by predicate SALTED with a subject-hash: predicates
         # are zipf-skewed (rdf:type alone is often >20% of a web KG), so
         # a bare repartition("p") would funnel the hottest predicate into
@@ -190,7 +198,7 @@ def run_pipeline(
             .write.mode("overwrite")
             .parquet(str(canon_dir))
         )
-        n_triples = spark.read.parquet(str(canon_dir)).count()
+        n_triples = int(canon_obs.get["n"])
         global_file.write_text(json.dumps({
             "manifest_key": manifest_key,
             "n_canonical_triples": n_triples,

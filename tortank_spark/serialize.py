@@ -17,10 +17,12 @@ Byte fidelity (S7): ``ntriples_line`` reproduces the reference's
   canonical would have coerced). xsd:time never coerces with the
   reference's format ladder (see grammar/lexical.py) so time literals
   always take the Quoted path.
-* Known divergence, documented: the reference renders DateTime in the
-  value's own UTC offset (chrono to_rfc3339); our parser canonicalizes
-  instants to UTC ``Z`` at parse time (same chrono equality class), so
-  non-UTC inputs serialize as their UTC instant.
+* DateTime offsets: the reference renders DateTime in the value's own
+  UTC offset (chrono to_rfc3339, turtle_doc.rs:1225-1231). The default
+  parse canonicalizes instants to UTC ``Z`` (same chrono equality
+  class), so non-UTC inputs serialize as their UTC instant; pass
+  ``preserve_datetime_offset=True`` to parse_document/TurtleParser for
+  byte-parity with chrono on non-UTC values too.
 """
 
 from __future__ import annotations
@@ -91,8 +93,14 @@ PRETTY_PREFIXES = [
 
 # native-typed literals that always render with a plain '"' pair
 _NATIVE_DTS = (XSD_INTEGER, XSD_DECIMAL, XSD_DOUBLE, XSD_BOOLEAN)
-# canonical lexical forms the parser emits at coercion time
-_CANON_DATETIME_RE = r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d{3}Z$"
+# canonical lexical forms the parser emits at coercion time. The
+# offset alternative only arises under preserve_datetime_offset mode
+# (chrono to_rfc3339 keeps the value's own offset); it cannot
+# misclassify an UNcoerced literal — any value matching it would have
+# coerced successfully
+_CANON_DATETIME_RE = (
+    r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d{3}(Z|[+-]\d{2}:\d{2})$"
+)
 _CANON_DATE_RE = r"^\d{4}-\d{2}-\d{2}$"
 
 
