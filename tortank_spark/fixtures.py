@@ -114,7 +114,7 @@ def _filler_text(i: int) -> str:
     return "\n".join(parts)
 
 
-def _big_page_text(n_stmts: int = 8000) -> str:
+def _big_page_text(n_stmts: int = 4000) -> str:
     """One multi-MB document (~1.9 MB, 2*n_stmts triples). Real crawls
     carry occasional huge embedded graphs; a corpus of uniform few-KB
     docs never exercises the Arrow batch-memory edge the multimodal
@@ -122,14 +122,14 @@ def _big_page_text(n_stmts: int = 8000) -> str:
     per-task skew one fat doc induces."""
     parts = ["@prefix ex: <http://example.org/big#> .\n"]
     for n in range(n_stmts):
-        pad = f"padding-{n:06d}-" + "x" * 180
+        pad = f"padding-{n:06d}-" + "x" * 420
         parts.append(
             f'ex:s{n} ex:prop{n % 7} "{pad}" ;\n    ex:rank {n} .\n'
         )
     return "".join(parts)
 
 
-def _bnode_heavy_text(n: int = 2000) -> str:
+def _bnode_heavy_text(n: int = 1000) -> str:
     """A pathological blank-node-heavy document: ~3 anon bnodes per
     statement group (nested + list-valued) plus a labeled-bnode chain —
     stresses the per-doc bnode counter, nested-anon recursion, and the
@@ -150,11 +150,19 @@ def make_pages(
     n_partitions: int = 8,
     include_broken: bool = True,
     include_heavy: bool = True,
+    heavy_sets: int = 1,
 ) -> DataFrame:
     """Build the synthetic page table. The first rows embed the 32
     reference fixture docs verbatim; then (optionally) one broken page
-    for the quarantine path and two heavy pages — a multi-MB doc and a
-    bnode-dense doc — then deterministic filler up to n_pages."""
+    for the quarantine path and ``heavy_sets`` heavy-page pairs — a
+    multi-MB doc and a bnode-dense doc each — then deterministic
+    filler up to n_pages.
+
+    ``heavy_sets`` exists for the weak-scaling bench: the big leg's
+    corpus must be an exact k-fold multiple of the small leg's work,
+    so a constant-size heavy tail would skew the per-core work ratio
+    (~16% at the bench's corpus sizes) — the big leg passes
+    heavy_sets=k to keep the legs proportional."""
     rows = []
     i = 0
     for case, text in fixture_texts().items():
@@ -164,12 +172,13 @@ def make_pages(
         rows.append(_page_row("https://synth.example.org/broken/0", i, BROKEN_DOC))
         i += 1
     if include_heavy:
-        rows.append(_page_row("https://synth.example.org/big/0", i,
-                              _big_page_text()))
-        i += 1
-        rows.append(_page_row("https://synth.example.org/bnodes/0", i,
-                              _bnode_heavy_text()))
-        i += 1
+        for h in range(heavy_sets):
+            rows.append(_page_row(f"https://synth.example.org/big/{h}", i,
+                                  _big_page_text()))
+            i += 1
+            rows.append(_page_row(f"https://synth.example.org/bnodes/{h}", i,
+                                  _bnode_heavy_text()))
+            i += 1
     while len(rows) < n_pages:
         rows.append(
             _page_row(
