@@ -174,17 +174,36 @@ for line in sys.stdin:
 """
 
 
-class Leg:
-    """A persistent single-JVM extraction server at a fixed core count."""
+import shutil
 
-    def __init__(self, cpus: int, n_pages: int, heavy_sets: int = 1):
+_TASKSET = shutil.which("taskset")
+
+
+class Leg:
+    """A persistent single-JVM extraction server at a fixed core count.
+
+    ``cpu_list`` pins the whole leg (JVM + forked Python workers) to a
+    DISJOINT core set via taskset. This removes the CFS fair-share
+    coupling between overlapped legs: unpinned, the ~5 runnable
+    threads of both legs share one runqueue and, once the host's burst
+    budget drains, each gets an equal 1/5 share — which pins the
+    overlapped ratio to ~1.0 (slightly above with the big JVM's helper
+    threads) REGARDLESS of code, the round-3 fair-share ceiling. With
+    disjoint affinity each leg's threads compete only within its own
+    cores (intra-leg JVM-helper contention is proportionally identical
+    on both sides and cancels in the ratio), while hypervisor clock
+    cuts still hit both legs at the same instant and cancel."""
+
+    def __init__(self, cpus: int, n_pages: int, heavy_sets: int = 1,
+                 cpu_list: str | None = None):
         self.cpus = cpus
         code = _LEG_CODE.format(
             repo=str(Path(__file__).resolve().parent), cpus=cpus,
             n_pages=n_pages, heavy_sets=heavy_sets,
         )
+        pin = [_TASKSET, "-c", cpu_list] if (_TASKSET and cpu_list) else []
         self.proc = subprocess.Popen(
-            [sys.executable, "-u", "-c", code],
+            [*pin, sys.executable, "-u", "-c", code],
             stdin=subprocess.PIPE, stdout=subprocess.PIPE,
             stderr=subprocess.DEVNULL, text=True,
             env={**os.environ, "TZ": "UTC"},
@@ -241,11 +260,28 @@ def measure_scaling() -> dict:
     # one pass of each leg is the same per-core work and the two walls
     # are directly comparable — one job submission and one task wave
     # each, symmetric fixed overhead
-    big = Leg(SCALE_BIG, ratio * SCALE_CORPUS, heavy_sets=ratio)
+    # Disjoint core pinning (see Leg docstring), with ONE EXTRA core
+    # per leg for JVM/driver overhead: in local mode the driver loop,
+    # GC and Arrow-shuttle threads are part of the leg process, and
+    # without the spare core that fixed thread-load D rides on the
+    # small leg's only worker core while amortizing over the big
+    # leg's four — measured eff = (4-D)/(4-4D) > 1 (validated: pinned
+    # 1-vs-4 cores printed 1.04-1.23). A real cluster runs the driver
+    # on its own node and reserves a core per executor node for
+    # daemons; the spare core emulates exactly that, so the ratio
+    # measures WORKER scaling. The big leg's overhead shares the same
+    # single spare core — if it outgrows it the big leg slows and the
+    # estimate is biased conservative, never flattering.
+    big = Leg(
+        SCALE_BIG, ratio * SCALE_CORPUS, heavy_sets=ratio,
+        cpu_list=(f"{SCALE_SMALL + 1}-"
+                  f"{SCALE_SMALL + 1 + SCALE_BIG}"),
+    )
     small = None
     try:
         big.wait_ready()
-        small = Leg(SCALE_SMALL, SCALE_CORPUS, heavy_sets=1)
+        small = Leg(SCALE_SMALL, SCALE_CORPUS, heavy_sets=1,
+                    cpu_list=f"0-{SCALE_SMALL}")
         small.wait_ready()
         time.sleep(COOLDOWN_START)  # settle before sampling
 
@@ -325,10 +361,19 @@ def measure_scaling() -> dict:
         # ceiling off as a code property
         if med_burst is not None and len(burst_effs) >= 2:
             med, basis = med_burst, "burst_only_median"
+            basis_pool = burst_effs
         elif burst_effs:
             med, basis = med_all, "all_rounds_median (only 1 burst round)"
+            basis_pool = round_effs
         else:
             med, basis = med_all, "all_rounds_median (no burst rounds)"
+            basis_pool = round_effs
+        # the headline itself is flagged when most of the rounds that
+        # produced it are in fair-share territory (eff > 1.05) — a
+        # median of unphysical values is not a code property either
+        headline_suspect = (
+            2 * sum(1 for e in basis_pool if e > 1.05) >= len(basis_pool)
+        )
         return {
             "cpus_small": SCALE_SMALL,
             "cpus_big": SCALE_BIG,
@@ -351,6 +396,7 @@ def measure_scaling() -> dict:
                 round(med_burst, 3) if med_burst is not None else None
             ),
             "efficiency_basis": basis,
+            "headline_fairshare_suspect": headline_suspect,
             "speedup": round(med * ratio, 3),
             "efficiency": round(med, 3),
             "docs": big.meta["docs"],

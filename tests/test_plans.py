@@ -257,3 +257,51 @@ def test_ivf_assign_inline_is_join_and_shuffle_free(spark):
     want = {r["vec_id"]: r["list_id"]
             for r in ivf_assign(emb, "embedding", cents).collect()}
     assert {r["vec_id"]: r["list_id"] for r in rows} == want
+
+
+def test_pbucketed_pattern_scan_prunes_directories(spark, tmp_path_factory):
+    """write_triples_pbucketed + scan_pattern_pbucketed: a bound-p
+    pattern scan must read ONLY the matching p_bucket directory
+    (directory pruning via constant-folded hash predicate), and return
+    exactly what a full-scan pattern_filter returns."""
+    from tortank_spark.algebra import pattern_filter
+    from tortank_spark.storage import (
+        scan_pattern_pbucketed, write_triples_pbucketed,
+    )
+
+    rows = [
+        (f"http://e.org/s{i}", "iri", f"http://e.org/p{i % 7}",
+         f"v{i}", "literal",
+         "http://www.w3.org/2001/XMLSchema#string", None)
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(
+        rows, "s string, s_kind string, p string, o string, "
+              "o_kind string, o_datatype string, o_lang string",
+    )
+    d = str(tmp_path_factory.mktemp("pbucket") / "triples")
+    write_triples_pbucketed(df, d, n_p_buckets=16)
+
+    target_p = "http://e.org/p3"
+    got = scan_pattern_pbucketed(spark, d, p=target_p, n_p_buckets=16)
+    want = pattern_filter(spark.read.parquet(d).drop("p_bucket"),
+                          p=target_p)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # file audit: every file actually read sits in ONE bucket directory
+    read_files = {
+        r["f"]
+        for r in scan_pattern_pbucketed(spark, d, p=target_p,
+                                        n_p_buckets=16)
+        .select(F.input_file_name().alias("f")).distinct().collect()
+    }
+    assert read_files, "scan read no files"
+    buckets_touched = {f.split("p_bucket=")[1].split("/")[0]
+                       for f in read_files}
+    assert len(buckets_touched) == 1, buckets_touched
+    # and the layout has >1 bucket overall, so pruning was non-trivial
+    import os
+
+    all_buckets = [e for e in os.listdir(d) if e.startswith("p_bucket=")]
+    assert len(all_buckets) > 1
