@@ -107,7 +107,13 @@ SF = _sf_of(SF_DIR)
 # round runs at full burst speed and the ratio compares a real
 # dedicated core against four.
 SCALE_CORPUS = max(512, int(SF * 40_000))
-COOLDOWN_START = int(os.environ.get("SPARK_GRAFT_BENCH_COOLDOWN", "60"))
+# settle between the 32-core headline phase and the scaling legs: 60 s
+# proved too short — the headline phase drains the burst budget deeply
+# and the round-4 full run's scaling rounds ALL started drained (walls
+# 15-23 s vs the 8.3 s burst wall; median 1.045) while the same code
+# on a rested budget printed 0.964 with zero suspect rounds. ~3 min of
+# refill buys the scaling phase its burst rounds.
+COOLDOWN_START = int(os.environ.get("SPARK_GRAFT_BENCH_COOLDOWN", "180"))
 # 8 s between rounds proved too short to refill the host's burst
 # budget: a 9-round run degraded 0.83 -> 0.60 as the budget drained
 # (round-3 validation), dragging the median under target while
@@ -260,6 +266,11 @@ def measure_scaling() -> dict:
     # one pass of each leg is the same per-core work and the two walls
     # are directly comparable — one job submission and one task wave
     # each, symmetric fixed overhead
+    # pinning requires enough physical cores for both disjoint sets
+    # (workers + one spare each); on overridden SCALE_* that exceed
+    # the machine, fall back to unpinned rather than pinning both
+    # legs into a truncated mask
+    can_pin = (SCALE_SMALL + SCALE_BIG + 2) <= (os.cpu_count() or 0)
     # Disjoint core pinning (see Leg docstring), with ONE EXTRA core
     # per leg for JVM/driver overhead: in local mode the driver loop,
     # GC and Arrow-shuttle threads are part of the leg process, and
@@ -274,14 +285,14 @@ def measure_scaling() -> dict:
     # estimate is biased conservative, never flattering.
     big = Leg(
         SCALE_BIG, ratio * SCALE_CORPUS, heavy_sets=ratio,
-        cpu_list=(f"{SCALE_SMALL + 1}-"
-                  f"{SCALE_SMALL + 1 + SCALE_BIG}"),
+        cpu_list=(f"{SCALE_SMALL + 1}-{SCALE_SMALL + 1 + SCALE_BIG}"
+                  if can_pin else None),
     )
     small = None
     try:
         big.wait_ready()
         small = Leg(SCALE_SMALL, SCALE_CORPUS, heavy_sets=1,
-                    cpu_list=f"0-{SCALE_SMALL}")
+                    cpu_list=f"0-{SCALE_SMALL}" if can_pin else None)
         small.wait_ready()
         time.sleep(COOLDOWN_START)  # settle before sampling
 

@@ -26,8 +26,10 @@ def test_pipeline_end_to_end_and_resume(spark, tmp_path):
     # rewrite would rescan+reshuffle the whole triple table)
     def _canon_state():
         return sorted(
-            (p.name, p.stat().st_mtime_ns, p.stat().st_size)
-            for p in (tmp_path / "kg" / "triples_canonical").iterdir()
+            (str(p.relative_to(tmp_path)), p.stat().st_mtime_ns,
+             p.stat().st_size)
+            for p in (tmp_path / "kg" / "triples_canonical").rglob("*")
+            if p.is_file()
         )
 
     canon_before = _canon_state()
@@ -66,6 +68,20 @@ def test_pipeline_end_to_end_and_resume(spark, tmp_path):
     # canonicalization: fixture 0001/0013 sameAs collapsed
     canon = spark.read.parquet(out + "/triples_canonical")
     assert canon.filter(F.col("s").contains("ns#ComplexResource")).count() == 0
+
+    # the canonical table is a PARTITIONED layout (p_bucket dirs), and
+    # a bound-predicate scan through the pruning reader matches a plain
+    # full-scan filter
+    import os as _os
+
+    from tortank_spark.storage import scan_pattern_pbucketed
+
+    assert any(e.startswith("p_bucket=")
+               for e in _os.listdir(out + "/triples_canonical"))
+    some_p = canon.select("p").first()["p"]
+    pruned = scan_pattern_pbucketed(spark, out + "/triples_canonical",
+                                    p=some_p)
+    assert pruned.count() == canon.filter(F.col("p") == some_p).count() > 0
 
     # manifest carries per-bucket metrics
     m = json.loads((tmp_path / "kg" / "bucket=0" / "_MANIFEST.json").read_text())

@@ -183,21 +183,15 @@ def run_pipeline(
         canonical = rewrite_canonical(triples, cmap).observe(
             canon_obs, F.count(F.lit(1)).alias("n")
         )
-        # partition by predicate SALTED with a subject-hash: predicates
-        # are zipf-skewed (rdf:type alone is often >20% of a web KG), so
-        # a bare repartition("p") would funnel the hottest predicate into
-        # one task; the salt caps any single reducer at ~1/16 of a
-        # predicate while keeping predicate locality for downstream
-        # pattern scans
-        (
-            canonical.repartition(
-                max(n_buckets, 8),
-                F.col("p"),
-                F.pmod(F.xxhash64("s"), F.lit(16)),
-            )
-            .write.mode("overwrite")
-            .parquet(str(canon_dir))
-        )
+        # materialize as a PARTITIONED triple table (the north rule's
+        # final stage): directories keyed by pmod(xxhash64(p), 64) so
+        # bound-predicate pattern scans prune to 1/64 of the data, with
+        # subject-salted clustering inside each bucket so the zipf-hot
+        # predicate (rdf:type is often >20% of a web KG) never funnels
+        # one writer task — see storage.write_triples_pbucketed
+        from .storage import write_triples_pbucketed
+
+        write_triples_pbucketed(canonical, str(canon_dir))
         n_triples = int(canon_obs.get["n"])
         global_file.write_text(json.dumps({
             "manifest_key": manifest_key,
