@@ -151,11 +151,16 @@ spark.sparkContext.setLogLevel("ERROR")
 # straggler partition (task overhead ~10 ms is negligible vs ~0.5 s
 # of parse work per partition)
 # heavy_sets scales the constant-size heavy-page tail with the leg
-# ratio so the weak-scaling corpora stay exactly proportional per core
+# ratio so the weak-scaling corpora stay exactly proportional per core.
+# Cache the PRUNED projection (url+text): the production path scans
+# parquet with column pruning (plan-tested), so caching full rows
+# would charge every pass an html-column decode the real pipeline
+# never pays (~20% of the 1-core pass wall, measured)
 pages = fixtures.make_pages(spark, n_pages={n_pages},
                             n_partitions=max(8 * {cpus}, 8),
                             include_broken=False,
-                            heavy_sets={heavy_sets}).persist()
+                            heavy_sets={heavy_sets}).select(
+                                "url", "text").persist()
 n_docs = pages.count()
 
 def one_pass(df):

@@ -160,7 +160,9 @@ def canonical_datetime(dt: datetime, preserve_offset: bool = False) -> str:
     matches chrono's to_rfc3339 byte-exactly on non-UTC values too:
     the value keeps its OWN offset (``+02:00``), with ``Z`` only when
     the offset is zero (chrono's use_z=true)."""
-    if not preserve_offset:
+    if not preserve_offset and dt.tzinfo is not timezone.utc:
+        # (already-UTC values skip the astimezone arithmetic — the
+        # common case: Z-suffixed web timestamps; hot in extraction)
         dt = dt.astimezone(timezone.utc)
     ms = dt.microsecond // 1000
     body = (f"{dt.year:04d}-{dt.month:02d}-{dt.day:02d}"

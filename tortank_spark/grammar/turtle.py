@@ -408,6 +408,19 @@ class TurtleParser:
                 if end != -1:
                     value = s[i + 3 : end]
                     self.i = end + 3
+            if value is None and q == '"':
+                # fast path (hot: most web literals carry no escapes):
+                # when no backslash occurs before the closing '"', the
+                # value is a zero-copy slice — byte-identical to what
+                # _escaped_string's chunk fold would assemble, since
+                # its chunks stop only at '"' or '\\'. Double-quote
+                # family only: the escape fold always terminates at
+                # '"' (reference string_parser.rs:116-168), so the
+                # single-quote attempt has different stop semantics.
+                end = s.find('"', i + 1, n)
+                if end != -1 and s.find("\\", i + 1, end) == -1:
+                    value = s[i + 1 : end]
+                    self.i = end + 1
             if value is None:
                 save = self.i
                 self.i = i + 1
