@@ -271,11 +271,18 @@ def measure_scaling() -> dict:
     # one pass of each leg is the same per-core work and the two walls
     # are directly comparable — one job submission and one task wave
     # each, symmetric fixed overhead
-    # pinning requires enough physical cores for both disjoint sets
-    # (workers + one spare each); on overridden SCALE_* that exceed
-    # the machine, fall back to unpinned rather than pinning both
-    # legs into a truncated mask
-    can_pin = (SCALE_SMALL + SCALE_BIG + 2) <= (os.cpu_count() or 0)
+    # pinning requires enough ALLOWED cores for both disjoint sets
+    # (workers + one spare each). sched_getaffinity, not cpu_count:
+    # in a cgroup/cpuset-restricted container cpu_count reports the
+    # host, and pinning to disallowed ids would silently truncate the
+    # big leg's set (wrong ratio) or kill the leg outright. Core ids
+    # are drawn from the actual allowed mask.
+    try:
+        _allowed = sorted(os.sched_getaffinity(0))
+    except AttributeError:  # non-Linux
+        _allowed = list(range(os.cpu_count() or 0))
+    _need = SCALE_SMALL + 1 + SCALE_BIG + 1
+    can_pin = len(_allowed) >= _need
     # Disjoint core pinning (see Leg docstring), with ONE EXTRA core
     # per leg for JVM/driver overhead: in local mode the driver loop,
     # GC and Arrow-shuttle threads are part of the leg process, and
@@ -288,16 +295,19 @@ def measure_scaling() -> dict:
     # measures WORKER scaling. The big leg's overhead shares the same
     # single spare core — if it outgrows it the big leg slows and the
     # estimate is biased conservative, never flattering.
+    _small_ids = _allowed[: SCALE_SMALL + 1]
+    _big_ids = _allowed[SCALE_SMALL + 1 : _need]
     big = Leg(
         SCALE_BIG, ratio * SCALE_CORPUS, heavy_sets=ratio,
-        cpu_list=(f"{SCALE_SMALL + 1}-{SCALE_SMALL + 1 + SCALE_BIG}"
-                  if can_pin else None),
+        cpu_list=",".join(map(str, _big_ids)) if can_pin else None,
     )
     small = None
     try:
         big.wait_ready()
-        small = Leg(SCALE_SMALL, SCALE_CORPUS, heavy_sets=1,
-                    cpu_list=f"0-{SCALE_SMALL}" if can_pin else None)
+        small = Leg(
+            SCALE_SMALL, SCALE_CORPUS, heavy_sets=1,
+            cpu_list=",".join(map(str, _small_ids)) if can_pin else None,
+        )
         small.wait_ready()
         time.sleep(COOLDOWN_START)  # settle before sampling
 
@@ -424,7 +434,7 @@ def measure_scaling() -> dict:
             small.stop()
 
 
-def run_headline_queries() -> dict:
+def run_headline_queries() -> tuple[dict, dict]:
     """Timed headline queries at full parallelism. Runs FIRST (before
     the scaling phase) so these land on a fresh burst budget — round 2
     measured them after ~5 minutes of scaling legs and the drained

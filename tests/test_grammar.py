@@ -344,3 +344,35 @@ def test_datetime_offset_preserving_flag():
         trips, err = parse_document(doc(lex), preserve_datetime_offset=True)
         assert err is None, (lex, err)
         assert trips[0][3] == want, (lex, trips[0][3], want)
+
+
+def test_short_string_fastpath_edges():
+    """The zero-copy fast path for unescaped short strings must be
+    byte-equivalent to the escape fold on its boundary cases: escape
+    right before the closing quote, empty string, quote-only tails,
+    escaped quote (slow path), and single-quote family (unchanged
+    reference stop semantics)."""
+    from tortank_spark.grammar.turtle import parse_document
+
+    def one(lex):
+        trips, err = parse_document(
+            f'<http://e/s> <http://e/p> {lex} .')
+        assert err is None, (lex, err)
+        assert len(trips) == 1
+        return trips[0][3]
+
+    assert one('"plain value"') == "plain value"
+    assert one('""') == ""
+    assert one(r'"tab\tend"') == "tab\tend"
+    assert one(r'"escaped quote \" inside"') == 'escaped quote " inside'
+    assert one(r'"trailing escape\n"') == "trailing escape\n"
+    # unknown escape kept verbatim (string_parser.rs:152-155)
+    assert one(r'"keep \q verbatim"') == r"keep \q verbatim"
+    # \u{...} brace escape still decodes (slow path engaged)
+    assert one(r'"brace \u{1F600} cp"') == "brace \U0001F600 cp"
+    # backslash AFTER the closing quote of a later literal must not
+    # defeat the fast path's escape scan window
+    trips, err = parse_document(
+        '<http://e/s> <http://e/p> "a" , "b\\tc" .')
+    assert err is None
+    assert sorted(t[3] for t in trips) == ["a", "b\tc"]

@@ -888,3 +888,26 @@ def test_mm_resize_fixture_rounding_margin():
         f"resize fixture has a near-tie cell sum (margin {min_margin}); "
         "floor(sum+0.5) checksums would be engine-order-sensitive"
     )
+
+
+def test_range_invalid_datetime_takes_quoted_path(spark):
+    """A dateTime-typed literal whose SHAPE is canonical but whose
+    VALUE is range-invalid (month 13, Feb 30, hour 25) fails chrono
+    coercion in the reference and renders via the QUOTED path
+    (long-quote separator), never the native plain-quote pair —
+    _is_native must validity-check, not shape-check
+    (turtle_doc.rs:1193-1238)."""
+    from tortank_spark.serialize import to_ntriples
+
+    xsd_dt = "http://www.w3.org/2001/XMLSchema#dateTime"
+    rows = [
+        ("http://e/s", "iri", "http://e/p", v, "literal", xsd_dt, None)
+        for v in [
+            "2024-13-05T10:20:30.400+02:00",
+            "2024-02-30T10:20:30.400Z",
+            "2024-03-05T25:20:30.400+02:00",
+        ]
+    ]
+    lines = [r["value"] for r in
+             to_ntriples(make_triples(spark, rows)).collect()]
+    assert all('"""' in ln for ln in lines), lines

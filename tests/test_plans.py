@@ -305,3 +305,24 @@ def test_pbucketed_pattern_scan_prunes_directories(spark, tmp_path_factory):
 
     all_buckets = [e for e in os.listdir(d) if e.startswith("p_bucket=")]
     assert len(all_buckets) > 1
+
+
+def test_lazy_dedup_builders_persist_and_release_on_request(spark):
+    """eager=False keeps the internal signature/bucket cache (the
+    stage feeds 2-3 plan branches — dropping the persist would re-run
+    the Python stage per branch) and hands its handle to the caller
+    via release_caches, since the plan node is otherwise unreachable."""
+    from tortank_spark.dedup import minhash_dedup_pairs, release_caches
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} tok{i+1} tok{i+2} tok{i+3}") for i in range(8)],
+        "doc_id long, text string",
+    )
+    jsc = spark.sparkContext._jsc
+    before = jsc.getPersistentRDDs().size()
+    out = minhash_dedup_pairs(docs, "doc_id", threshold=0.5, eager=False)
+    out.collect()
+    assert jsc.getPersistentRDDs().size() == before + 1  # sigs cached
+    release_caches(out)
+    assert jsc.getPersistentRDDs().size() == before
+    release_caches(out)  # idempotent, and no-op on eager results

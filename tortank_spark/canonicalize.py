@@ -127,37 +127,41 @@ def connected_components(
     across both paths). The byte gate matters for web IRIs: 1M edges
     of 300-char URLs is ~600 MB of raw ids (several GB as Python
     objects) — row count alone under-gates."""
-    def _sig(df):
+    def _sig(df, with_bytes: bool = False):
         # set signature: (count, order-independent xor of row hashes).
         # Both edge sets are distinct-ified, so equal signatures mean
         # equal sets up to a 2^-64 collision; one cheap aggregate per
-        # side replaces two anti-joins per round. bit_xor instead of sum
-        # avoids ANSI-mode long overflow.
-        row = df.select(F.xxhash64("src", "dst").alias("h")).agg(
+        # side replaces two anti-joins per round. bit_xor instead of
+        # sum avoids ANSI-mode long overflow. with_bytes additionally
+        # sums UTF-8 octet lengths (octet_length, NOT length: length
+        # counts code points and would under-count non-ASCII web IRIs
+        # up to 4x against the driver-path byte gate) in the SAME job.
+        aggs = [
             F.count("*").alias("n"),
-            F.expr("bit_xor(h)").alias("x"),
-        ).collect()[0]
-        return row["n"], row["x"]
+            F.expr("bit_xor(xxhash64(src, dst))").alias("x"),
+        ]
+        if with_bytes:
+            aggs.append(
+                F.sum(F.octet_length("src") + F.octet_length("dst"))
+                .alias("b")
+            )
+        row = df.agg(*aggs).collect()[0]
+        sig = (row["n"], row["x"])
+        return (sig, int(row["b"] or 0)) if with_bytes else sig
 
     # LAZY localCheckpoint: the signature aggregate is the action that
     # materializes it, so each round costs ONE Spark job, not two (the
     # checkpoint still truncates lineage — without it the iterative
     # plan grows exponentially and kills the driver at analysis time).
-    # The first aggregate additionally sums id lengths for the
-    # driver-path byte gate (same job, one extra partial-agg column).
+    # The first aggregate additionally sums id bytes for the
+    # driver-path gate (same job, one extra partial-agg column).
     cur = _orient(edges).localCheckpoint(eager=False)
-    first = cur.agg(
-        F.count("*").alias("n"),
-        F.expr("bit_xor(xxhash64(src, dst))").alias("x"),
-        F.sum(F.length("src") + F.length("dst")).alias("b"),
-    ).collect()[0]
-    cur_sig = (first["n"], first["x"])
+    cur_sig, id_bytes = _sig(cur, with_bytes=True)
     if cur_sig[0] == 0:
         return edges.sparkSession.createDataFrame(
             [], "iri string, canonical string"
         )
-    if (cur_sig[0] <= driver_max_edges
-            and int(first["b"] or 0) <= driver_max_bytes):
+    if cur_sig[0] <= driver_max_edges and id_bytes <= driver_max_bytes:
         return _driver_union_find(edges.sparkSession, cur)
     for _ in range(max_rounds):
         nxt = _small_star(_large_star(cur)).localCheckpoint(eager=False)

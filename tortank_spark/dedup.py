@@ -213,6 +213,21 @@ def minhash_jaccard_estimate(
     )
 
 
+def _attach_caches(out: DataFrame, deps: list[DataFrame]) -> DataFrame:
+    """Record internal persisted dependencies on the returned frame so
+    lazy (eager=False) callers can release them — the plan nodes are
+    otherwise unreachable from outside."""
+    out._tortank_caches = deps
+    return out
+
+
+def release_caches(df: DataFrame) -> None:
+    """Unpersist the internal caches a lazy dedup builder attached to
+    ``df`` (no-op for eager results). Call after the terminal action."""
+    for dep in getattr(df, "_tortank_caches", []):
+        dep.unpersist()
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     id_col: str,
@@ -226,20 +241,21 @@ def minhash_dedup_pairs(
 
     Cache lifetime: the signature table feeds BOTH sides of the band
     self-join plus the estimate join — without caching, the Python
-    signature stage re-runs 3-4x. With ``eager`` (default) the small
-    pair output is materialized (localCheckpoint) and the signature
-    cache is released before returning, so repeated calls in a
-    long-lived session cannot accumulate executor storage. At scale
-    the signature table (n_hashes ints/doc, ~100x smaller than the
-    text) is the thing you materialize; pass ``eager=False`` only if
-    you write the result out yourself in the same job — the caller
-    then owns the cache lifetime of the whole plan."""
-    sigs = minhash_signatures(df, id_col, text_col, n_hashes)
+    signature stage re-runs 3-4x, so it is ALWAYS persisted. With
+    ``eager`` (default) the small pair output is materialized
+    (localCheckpoint) and the signature cache is released before
+    returning, so repeated calls in a long-lived session cannot
+    accumulate executor storage. With ``eager=False`` the plan stays
+    lazy (use when you write the result out yourself in the same
+    job); the internal cache handle rides on the returned DataFrame —
+    call :func:`release_caches` on it after your terminal action (the
+    caller cannot reach the internal plan node any other way)."""
+    sigs = minhash_signatures(df, id_col, text_col, n_hashes).persist()
     if not eager:
         pairs = lsh_candidate_pairs(sigs, id_col, bands)
         est = minhash_jaccard_estimate(sigs, pairs, id_col)
-        return est.filter(F.col("jaccard_est") >= threshold)
-    sigs = sigs.persist()
+        out = est.filter(F.col("jaccard_est") >= threshold)
+        return _attach_caches(out, [sigs])
     try:
         pairs = lsh_candidate_pairs(sigs, id_col, bands)
         est = minhash_jaccard_estimate(sigs, pairs, id_col)
@@ -430,7 +446,10 @@ def embedding_neardup_lsh(
     deterministic) plane matrices are built lazily inside the Arrow
     stage from the first batch — no driver-side ``first()`` job.
     ``eager`` (default): materialize the small pair output and release
-    the bucket-table cache before returning (see minhash_dedup_pairs)."""
+    the bucket-table cache before returning; with ``eager=False`` the
+    bucket table stays persisted (it feeds both self-join sides) and
+    its handle rides on the result — call :func:`release_caches`
+    after your terminal action (see minhash_dedup_pairs)."""
     from .similarity import _table_planes
 
     weights = 1 << np.arange(n_bits, dtype=np.int64)
@@ -472,9 +491,9 @@ def embedding_neardup_lsh(
     # plane seeding or key layout (_table_planes is the shared piece).
     # persist: the banded keys feed both sides of the self-join —
     # uncached, the Python bucketing stage runs twice
-    banded = emb.select(id_col, vec_col).mapInPandas(gen, schema=schema)
-    if eager:
-        banded = banded.persist()
+    banded = emb.select(id_col, vec_col).mapInPandas(
+        gen, schema=schema
+    ).persist()
     l, r = banded.alias("l"), banded.alias("r")
     cand = (
         l.join(
@@ -494,7 +513,7 @@ def embedding_neardup_lsh(
         .select("a", "b", F.round("cosine", 6).alias("cosine"))
     )
     if not eager:
-        return out
+        return _attach_caches(out, [banded])
     try:
         return out.localCheckpoint(eager=True)
     finally:

@@ -95,9 +95,13 @@ PRETTY_PREFIXES = [
 _NATIVE_DTS = (XSD_INTEGER, XSD_DECIMAL, XSD_DOUBLE, XSD_BOOLEAN)
 # canonical lexical forms the parser emits at coercion time. The
 # offset alternative only arises under preserve_datetime_offset mode
-# (chrono to_rfc3339 keeps the value's own offset); it cannot
-# misclassify an UNcoerced literal — any value matching it would have
-# coerced successfully
+# (chrono to_rfc3339 keeps the value's own offset). Shape alone is
+# NOT sufficient to conclude "coerced": a range-invalid value like
+# 2024-13-05T...+02:00 matches the shape but fails chrono coercion
+# and stays verbatim — the reference then renders it via the QUOTED
+# path. _is_native therefore additionally requires the value to
+# actually parse as a timestamp (try_to_timestamp, JVM-side), which
+# also closes the same latent flaw for Z-shaped invalid values.
 _CANON_DATETIME_RE = (
     r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d{3}(Z|[+-]\d{2}:\d{2})$"
 )
@@ -118,7 +122,8 @@ def _is_native(o: Column, dt: Column) -> Column:
     return (
         dt.isin(*_NATIVE_DTS)
         | ((dt == XSD_DATE) & o.rlike(_CANON_DATE_RE))
-        | ((dt == XSD_DATE_TIME) & o.rlike(_CANON_DATETIME_RE))
+        | ((dt == XSD_DATE_TIME) & o.rlike(_CANON_DATETIME_RE)
+           & F.try_to_timestamp(o).isNotNull())
     )
 
 
