@@ -130,3 +130,20 @@ def test_fuzz_bytes_decoded_never_crashes(data):
     text = data.decode("utf-8", "replace")
     triples, err = parse_document(text)
     assert isinstance(triples, list)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_value)
+def test_string_fastpath_slowpath_agree(v):
+    """The zero-copy fast path (no backslash before the closing quote)
+    and the escape fold must agree: a clean value parses verbatim, and
+    the same value with an escape appended (forcing the fold) yields
+    the identical prefix plus the decoded escape."""
+    doc = f'<http://e/s> <http://e/p> "{v}" .'
+    fast, err = parse_document(doc)
+    assert err is None, (err, doc)
+    assert fast[0][3] == v
+    doc2 = f'<http://e/s> <http://e/p> "{v}\\t" .'
+    slow, err2 = parse_document(doc2)
+    assert err2 is None, (err2, doc2)
+    assert slow[0][3] == v + "\t"
