@@ -805,6 +805,71 @@ FROM s GROUP BY user_id, sess
 """
 
 
+def _q_winnow_fingerprint(spark, sf_dir):
+    """Winnowing fingerprints (Schleimer et al. SIGMOD'03) over the
+    documents table — char-5-gram rolling hashes, window-4 rightmost
+    minima. FULL value oracle: the md5-low-64 k-gram hash is
+    SQL-reproducible (simhash's idiom), so DuckDB regenerates every
+    k-gram hash, replays the rightmost-min window selection with a
+    window-function rank, and matches every (doc_id, pos, fp) row."""
+    from tortank_spark.textops import winnow_fingerprints
+
+    docs = _t(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs, "doc_id")
+
+
+# windowed rightmost-min replay: grams joins each window start to its
+# w member hashes; rank orders (hash ASC, pos DESC) so rn=1 is the
+# paper's rightmost minimum; uint64 comparisons on both engines, fp
+# emitted as the two's-complement int64 (same conversion as simhash)
+_ORACLE_WINNOW = r"""
+WITH norm AS (
+  SELECT doc_id,
+         array_to_string(
+           regexp_split_to_array(lower(trim(text)), '\s+'), ' ') AS t
+  FROM documents
+),
+short AS (
+  SELECT doc_id, CAST(0 AS BIGINT) AS pos,
+         CAST(concat('0x', substr(md5(t), 1, 16)) AS UBIGINT) AS u
+  FROM norm WHERE length(t) < 5
+),
+grams0 AS (
+  SELECT doc_id, t,
+         unnest(range(greatest(length(t) - 4, 0))) AS i
+  FROM norm WHERE length(t) >= 5
+),
+grams AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         CAST(concat('0x', substr(md5(
+           substr(t, CAST(i AS INTEGER) + 1, 5)), 1, 16))
+           AS UBIGINT) AS h,
+         length(t) - 4 AS n_grams
+  FROM grams0
+),
+starts AS (
+  SELECT doc_id, pos AS wstart FROM grams
+  WHERE pos <= greatest(n_grams - 4, 0)
+),
+wins AS (
+  SELECT s.doc_id, s.wstart, g.pos, g.h,
+         row_number() OVER (PARTITION BY s.doc_id, s.wstart
+                            ORDER BY g.h ASC, g.pos DESC) AS rn
+  FROM starts s JOIN grams g
+    ON g.doc_id = s.doc_id AND g.pos BETWEEN s.wstart AND s.wstart + 3
+),
+sel AS (
+  SELECT DISTINCT doc_id, pos, h AS u FROM wins WHERE rn = 1
+  UNION ALL
+  SELECT doc_id, pos, u FROM short
+)
+SELECT doc_id, pos,
+       CAST(CASE WHEN u >= 9223372036854775808
+                 THEN u - 18446744073709551616 ELSE u END AS BIGINT) AS fp
+FROM sel
+"""
+
+
 def _q_multimodal_features(spark, sf_dir):
     """REAL multimodal decode (PPM/BMP images, WAV audio — pure numpy;
     video stays stubbed: compressed containers need codec libs). FULL
@@ -1316,6 +1381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_simhash,
         "text_token_count": _q_token_count,
         "text_fingerprint": _q_doc_fingerprint,
+        "text_winnow": _q_winnow_fingerprint,
         "text_quality": _q_quality,
         "text_lang_id": _q_lang_id,
         "sim_topk_cosine": _q_topk_cosine,
@@ -1469,6 +1535,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         **_text_oracles(),
+        "text_winnow": _ORACLE_WINNOW,
         "mm_features": _ORACLE_MM_FEATURES,
         "mm_resize": _ORACLE_MM_RESIZE,
         "mm_frames": _ORACLE_MM_FRAMES,

@@ -911,3 +911,35 @@ def test_range_invalid_datetime_takes_quoted_path(spark):
     lines = [r["value"] for r in
              to_ntriples(make_triples(spark, rows)).collect()]
     assert all('"""' in ln for ln in lines), lines
+
+
+def test_winnow_fingerprints_guarantee_and_edges(spark):
+    """Winnowing (SIGMOD'03) contract: two docs sharing a substring of
+    length >= w + k - 1 = 8 share at least one fingerprint VALUE; a
+    doc shorter than k gets exactly one whole-text fingerprint; the
+    selection is deterministic (same text -> same fingerprint set)."""
+    from tortank_spark.textops import winnow_fingerprints
+
+    shared = "the quick brown fox jumps"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {shared} gamma delta"),
+            (2, f"unrelated prefix text {shared} and a different tail"),
+            (3, "completely different content with no overlap at all"),
+            (4, "tiny"),          # < k chars -> single whole-text fp
+            (5, f"alpha beta {shared} gamma delta"),  # identical to 1
+        ],
+        "doc_id long, text string",
+    )
+    rows = winnow_fingerprints(docs, "doc_id").collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], set()).add((r["pos"], r["fp"]))
+    fps = {d: {fp for _, fp in s} for d, s in by_doc.items()}
+    assert fps[1] & fps[2], "shared substring must share a fingerprint"
+    assert fps[1] == fps[5] and by_doc[1] == by_doc[5]  # deterministic
+    assert len(by_doc[4]) == 1 and next(iter(by_doc[4]))[0] == 0
+    # doc 3 shares nothing textual with doc 1 beyond < 8-char overlaps
+    # (not asserted disjoint: hash collisions and tiny shared grams are
+    # legitimately possible; the POSITIVE guarantee is what the
+    # algorithm promises)

@@ -75,6 +75,78 @@ def doc_fingerprint(text: Column) -> Column:
     return F.md5(norm)
 
 
+def winnow_fingerprints(
+    df: DataFrame, id_col: str, text_col: str = "text",
+    k: int = 5, w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting",
+    SIGMOD'03 — the standard rolling-hash fingerprint selection): char
+    k-grams over the whitespace-normalized lowercase text, each hashed
+    with md5-low-64 (deliberately SQL-reproducible, same idiom as
+    simhash's token hash); every window of ``w`` consecutive k-gram
+    hashes contributes its minimum, taking the RIGHTMOST position on
+    ties (the paper's rule); output = distinct
+    (id, pos, fp) rows. Guarantee: two documents sharing any substring
+    of length >= w + k - 1 share at least one fingerprint.
+
+    Texts shorter than k characters (after normalization) emit a
+    single (pos=0, hash-of-whole-text) row so every doc has >= 1
+    fingerprint. Hash comparisons happen in uint64 on both engines;
+    the emitted fp is the two's-complement int64 of the uint64 hash.
+
+    Scale shape: one Arrow pandas stage (numpy sliding windows), no
+    shuffle; downstream near-dup candidate generation is a bucket
+    equi-join on fp — identical join geometry to MinHash-LSH."""
+    import hashlib
+
+    import numpy as np
+    from pyspark.sql.types import LongType
+
+    schema = StructType(
+        [
+            StructField(id_col, df.schema[id_col].dataType, False),
+            StructField("pos", LongType(), False),
+            StructField("fp", LongType(), False),
+        ]
+    )
+
+    def _h64(sgram: str) -> int:
+        return int(hashlib.md5(sgram.encode()).hexdigest()[:16], 16)
+
+    def _signed(u: int) -> int:
+        return u - (1 << 64) if u >= (1 << 63) else u
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, poss, fps = [], [], []
+            for did, text in zip(pdf[id_col].values, pdf[text_col].values):
+                norm = " ".join((text or "").lower().split())
+                n_grams = len(norm) - k + 1
+                if n_grams <= 0:
+                    ids.append(did)
+                    poss.append(0)
+                    fps.append(_signed(_h64(norm)))
+                    continue
+                hs = np.fromiter(
+                    (_h64(norm[i : i + k]) for i in range(n_grams)),
+                    dtype=np.uint64, count=n_grams,
+                )
+                ww = min(w, n_grams)
+                win = np.lib.stride_tricks.sliding_window_view(hs, ww)
+                # rightmost min: argmin over the REVERSED window
+                idx = (ww - 1) - np.argmin(win[:, ::-1], axis=1)
+                sel_pos = np.arange(len(win)) + idx
+                pairs = {(int(p), int(hs[p])) for p in sel_pos}
+                for p, u in sorted(pairs):
+                    ids.append(did)
+                    poss.append(p)
+                    fps.append(_signed(u))
+            yield pd.DataFrame({id_col: ids, "pos": poss, "fp": fps})
+
+    return df.select(id_col, text_col).mapInPandas(gen, schema=schema)
+
+
 def detect_language(
     df: DataFrame, text_col: str = "text", out_col: str = "lang_pred"
 ) -> DataFrame:
