@@ -870,6 +870,30 @@ FROM sel
 """
 
 
+def _q_winnow_neardup(spark, sf_dir):
+    """Winnow-fingerprint near-dup pairs (MOSS construction): docs
+    sharing >= 12 rare fingerprints (document frequency <= 50 — the
+    boilerplate cap that also hard-bounds join-bucket skew). FULL
+    value oracle: DuckDB replays the whole ladder — fingerprint
+    selection, df cap, self-join, overlap count."""
+    from tortank_spark.textops import winnow_dedup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return winnow_dedup_pairs(docs, "doc_id")
+
+
+_ORACLE_WINNOW_PAIRS = r"""
+WITH sel AS (SELECT DISTINCT doc_id, fp FROM (%s)),
+rare AS (
+  SELECT fp FROM sel GROUP BY fp HAVING count(*) <= 50
+),
+nar AS (SELECT s.doc_id, s.fp FROM sel s JOIN rare USING (fp))
+SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS n_shared
+FROM nar l JOIN nar r ON l.fp = r.fp AND l.doc_id < r.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 12
+"""
+
+
 def _q_multimodal_features(spark, sf_dir):
     """REAL multimodal decode (PPM/BMP images, WAV audio — pure numpy;
     video stays stubbed: compressed containers need codec libs). FULL
@@ -1382,6 +1406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_count": _q_token_count,
         "text_fingerprint": _q_doc_fingerprint,
         "text_winnow": _q_winnow_fingerprint,
+        "dedup_winnow": _q_winnow_neardup,
         "text_quality": _q_quality,
         "text_lang_id": _q_lang_id,
         "sim_topk_cosine": _q_topk_cosine,
@@ -1536,6 +1561,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         **_text_oracles(),
         "text_winnow": _ORACLE_WINNOW,
+        "dedup_winnow": _ORACLE_WINNOW_PAIRS % _ORACLE_WINNOW,
         "mm_features": _ORACLE_MM_FEATURES,
         "mm_resize": _ORACLE_MM_RESIZE,
         "mm_frames": _ORACLE_MM_FRAMES,

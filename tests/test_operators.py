@@ -943,3 +943,30 @@ def test_winnow_fingerprints_guarantee_and_edges(spark):
     # (not asserted disjoint: hash collisions and tiny shared grams are
     # legitimately possible; the POSITIVE guarantee is what the
     # algorithm promises)
+
+
+def test_winnow_dedup_pairs_finds_planted_neardups(spark):
+    """MOSS-style winnow-pair generation: two heavily-overlapping docs
+    pair up with a high shared-fingerprint count; an unrelated doc
+    pairs with neither; the ubiquitous-fingerprint cap (max_df) drops
+    boilerplate shared by every doc."""
+    from tortank_spark.textops import winnow_dedup_pairs
+
+    body = ("training data pipelines deduplicate web documents with "
+            "fingerprint selection over rolling hashes of normalized text")
+    docs = spark.createDataFrame(
+        [
+            (1, body + " tail one"),
+            (2, body + " entirely different ending segment"),
+            (3, "nothing in common with the others at all beyond spaces"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {(r["a"], r["b"]): r["n_shared"]
+             for r in winnow_dedup_pairs(
+                 docs, "doc_id", min_shared=5, max_df=2).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 5
+    assert not any(3 in p for p in pairs)
+    # max_df=1 kills even the shared body (every shared fp has df=2)
+    assert winnow_dedup_pairs(
+        docs, "doc_id", min_shared=1, max_df=1).count() == 0

@@ -147,6 +147,54 @@ def winnow_fingerprints(
     return df.select(id_col, text_col).mapInPandas(gen, schema=schema)
 
 
+def winnow_dedup_pairs(
+    df: DataFrame, id_col: str, text_col: str = "text",
+    k: int = 5, w: int = 4, min_shared: int = 12, max_df: int = 50,
+    eager: bool = True,
+) -> DataFrame:
+    """Near-dup candidate pairs from shared winnowing fingerprints
+    (the MOSS construction over winnow_fingerprints): docs sharing at
+    least ``min_shared`` distinct fingerprint values become a pair
+    with their overlap count. Fingerprints occurring in more than
+    ``max_df`` documents are dropped BEFORE the self-join — boilerplate
+    phrases produce ubiquitous fingerprints whose buckets go quadratic
+    (the same role a stopword cap plays in MOSS); at 10^9 docs this
+    filter is what keeps the fp equi-join's biggest bucket bounded
+    (and it is a hard cap on skew: no bucket exceeds max_df rows per
+    side regardless of corpus growth). Join geometry is identical to
+    the MinHash band join: bucketed equi-join, never a cross join.
+
+    Cache lifetime follows dedup.minhash_dedup_pairs: the fingerprint
+    table feeds the df-cap aggregate AND both self-join sides, so it
+    is always persisted; ``eager`` (default) materializes the small
+    pair output and releases it, ``eager=False`` hands the handle to
+    the caller via dedup.release_caches."""
+    from .dedup import _attach_caches
+
+    fps = (
+        winnow_fingerprints(df, id_col, text_col, k, w)
+        .select(id_col, "fp").distinct().persist()
+    )
+    rare = fps.groupBy("fp").agg(F.count("*").alias("_df")).filter(
+        F.col("_df") <= max_df
+    ).select("fp")
+    narrowed = fps.join(rare, "fp")
+    l = narrowed.select(F.col(id_col).alias("a"), "fp")
+    r = narrowed.select(F.col(id_col).alias("b"), "fp")
+    out = (
+        l.join(r, (l["fp"] == r["fp"]) & (F.col("a") < F.col("b")))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    if not eager:
+        return _attach_caches(out, [fps])
+    try:
+        return out.localCheckpoint(eager=True)
+    finally:
+        fps.unpersist()
+
+
 def detect_language(
     df: DataFrame, text_col: str = "text", out_col: str = "lang_pred"
 ) -> DataFrame:
