@@ -808,44 +808,100 @@ FROM s GROUP BY user_id, sess
 def _q_winnow_fingerprint(spark, sf_dir):
     """Winnowing fingerprints (Schleimer et al. SIGMOD'03) over the
     documents table — char-5-gram rolling hashes, window-4 rightmost
-    minima. FULL value oracle: the md5-low-64 k-gram hash is
-    SQL-reproducible (simhash's idiom), so DuckDB regenerates every
-    k-gram hash, replays the rightmost-min window selection with a
-    window-function rank, and matches every (doc_id, pos, fp) row."""
+    minima. FULL value oracle: the k-gram hash is a polynomial fold
+    over codepoints (FNV-64 prime) plus one xorshift-multiply
+    finalizer round, all mod 2^64 — vectorized numpy uint64 wraparound
+    on the Spark side, the identical fold spelled out in
+    HUGEINT-mod-2^64 arithmetic on the DuckDB side (_winnow_hash_sql
+    below), so DuckDB regenerates every k-gram hash, replays the
+    rightmost-min window selection with a window-function rank, and
+    matches every (doc_id, pos, fp) row. (Round 4 used md5-low-64 —
+    SQL-reproducible but one interpreter hashlib call per CHARACTER in
+    the production path; the polynomial keeps full value parity at
+    ~5 numpy vector ops per document.) Whitespace normalization is the
+    shared explicit ASCII class textops._WS_CLASS on both engines."""
     from tortank_spark.textops import winnow_fingerprints
 
     docs = _t(spark, sf_dir, "documents")
     return winnow_fingerprints(docs, "doc_id")
 
 
+def _winnow_poly_sql(chars: list) -> str:
+    """HUGEINT fold h -> h*B + unicode(c) mod 2^64 over character
+    expressions — the exact arithmetic of textops._winnow_gram_hashes
+    (B = textops._WINNOW_B; constants inlined so oracle_sql() stays a
+    self-contained string)."""
+    acc = f"CAST(unicode({chars[0]}) AS HUGEINT)"
+    for c in chars[1:]:
+        acc = (f"(({acc}) * 1099511628211 + unicode({c}))"
+               " % 18446744073709551616")
+    return acc
+
+
+# one k=5 gram per position i (0-based char positions, matching the
+# numpy side's codepoint-array indexing; DuckDB substr is 1-based and
+# character-indexed, so substr(t, i+1+j, 1) is codepoint i+j)
+_WINNOW_GRAM_POLY = _winnow_poly_sql(
+    [f"substr(t, CAST(i AS INTEGER) + 1 + {j}, 1)" for j in range(5)]
+)
+# texts shorter than k hash their whole codepoint sequence (len 0-4)
+_WINNOW_SHORT_POLY = "CASE length(t) WHEN 0 THEN 0 " + " ".join(
+    f"WHEN {n} THEN "
+    + _winnow_poly_sql([f"substr(t, {j + 1}, 1)" for j in range(n)])
+    for n in range(1, 5)
+) + " END"
+# xorshift-multiply finalizer staged over two CTE hops: u ^= u >> 33;
+# u = u * C mod 2^64 (C = textops._WINNOW_C < 2^62 so the HUGEINT
+# product never overflows 128-bit); u ^= u >> 29
+_WINNOW_FIN_MUL = ("CAST((CAST(xor(hp, hp >> 33) AS HUGEINT)"
+                   " * 2685821657736338717) % 18446744073709551616"
+                   " AS UBIGINT)")
+
 # windowed rightmost-min replay: grams joins each window start to its
 # w member hashes; rank orders (hash ASC, pos DESC) so rn=1 is the
 # paper's rightmost minimum; uint64 comparisons on both engines, fp
-# emitted as the two's-complement int64 (same conversion as simhash)
+# emitted as the two's-complement int64 (same conversion as simhash).
+# Normalization: explicit ASCII whitespace class (textops._WS_CLASS)
+# with empty tokens filtered — byte-identical to the Python side's
+# re.split-and-join (str.split's Unicode whitespace vs RE2's ASCII \s
+# was a latent parity gap; ADVICE r04).
 _ORACLE_WINNOW = r"""
 WITH norm AS (
   SELECT doc_id,
          array_to_string(
-           regexp_split_to_array(lower(trim(text)), '\s+'), ' ') AS t
+           list_filter(
+             regexp_split_to_array(lower(coalesce(text, '')),
+                                   '[ \t\n\r\f\v]+'),
+             x -> x <> ''), ' ') AS t
   FROM documents
 ),
-short AS (
-  SELECT doc_id, CAST(0 AS BIGINT) AS pos,
-         CAST(concat('0x', substr(md5(t), 1, 16)) AS UBIGINT) AS u
+short0 AS (
+  SELECT doc_id, CAST(__SHORT_POLY__ AS UBIGINT) AS hp
   FROM norm WHERE length(t) < 5
+),
+short1 AS (
+  SELECT doc_id, __FIN_MUL__ AS hm FROM short0
+),
+short AS (
+  SELECT doc_id, CAST(0 AS BIGINT) AS pos, xor(hm, hm >> 29) AS u
+  FROM short1
 ),
 grams0 AS (
   SELECT doc_id, t,
          unnest(range(greatest(length(t) - 4, 0))) AS i
   FROM norm WHERE length(t) >= 5
 ),
-grams AS (
+grams1 AS (
   SELECT doc_id, CAST(i AS BIGINT) AS pos,
-         CAST(concat('0x', substr(md5(
-           substr(t, CAST(i AS INTEGER) + 1, 5)), 1, 16))
-           AS UBIGINT) AS h,
+         CAST(__GRAM_POLY__ AS UBIGINT) AS hp,
          length(t) - 4 AS n_grams
   FROM grams0
+),
+grams2 AS (
+  SELECT doc_id, pos, n_grams, __FIN_MUL__ AS hm FROM grams1
+),
+grams AS (
+  SELECT doc_id, pos, xor(hm, hm >> 29) AS h, n_grams FROM grams2
 ),
 starts AS (
   SELECT doc_id, pos AS wstart FROM grams
@@ -868,6 +924,15 @@ SELECT doc_id, pos,
                  THEN u - 18446744073709551616 ELSE u END AS BIGINT) AS fp
 FROM sel
 """
+# inline the generated hash expressions (kept as placeholders above so
+# the CTE skeleton stays readable; .replace, not %-format — the SQL is
+# full of literal '%' mod operators)
+_ORACLE_WINNOW = (
+    _ORACLE_WINNOW
+    .replace("__SHORT_POLY__", _WINNOW_SHORT_POLY)
+    .replace("__GRAM_POLY__", _WINNOW_GRAM_POLY)
+    .replace("__FIN_MUL__", _WINNOW_FIN_MUL)
+)
 
 
 def _q_winnow_neardup(spark, sf_dir):

@@ -970,3 +970,97 @@ def test_winnow_dedup_pairs_finds_planted_neardups(spark):
     # max_df=1 kills even the shared body (every shared fp has df=2)
     assert winnow_dedup_pairs(
         docs, "doc_id", min_shared=1, max_df=1).count() == 0
+
+
+def _py_winnow_replay(text, k=5, w=4):
+    """Pure-Python winnow replay built on textops._winnow_gram_hashes
+    (the interpreter-speed twin of the numpy production hash): explicit
+    rightmost-min window scan, uint64 comparisons, signed-int64 fps."""
+    from tortank_spark.textops import _normalize_ws, _winnow_gram_hashes
+
+    def signed(u):
+        return u - (1 << 64) if u >= (1 << 63) else u
+
+    norm = _normalize_ws(text)
+    hs = _winnow_gram_hashes(norm, k)
+    if len(norm) < k:
+        return {(0, signed(hs[0]))}
+    out = set()
+    ww = min(w, len(hs))
+    for s in range(len(hs) - ww + 1):
+        best = min(range(s, s + ww), key=lambda i: (hs[i], -i))
+        out.add((best, signed(hs[best])))
+    return out
+
+
+def test_winnow_numpy_hash_matches_python_replay(spark):
+    """The vectorized uint64-wraparound polynomial hash (production
+    path) must agree bit-for-bit with the pure-Python mod-2^64 replay
+    on every (pos, fp) row — including Unicode text (codepoint
+    indexing via utf-32), texts shorter than k, the empty string, and
+    non-ASCII whitespace that the explicit ASCII class must NOT split
+    on. This is the equivalence property that licenses the fast path:
+    the DuckDB oracle replays the same arithmetic in HUGEINT."""
+    from tortank_spark.textops import winnow_fingerprints
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "héllo wörld ünïcode text with accents",
+        "tab\tand\nnewline\r\nand\x0b\x0cseparated tokens",
+        "nbsp stays glued and line-sep too",
+        "tiny",
+        "ab",
+        "",
+        "    ",  # whitespace-only -> empty norm -> whole-text hash
+        "x" * 5,
+        "repeat " * 40,
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    rows = winnow_fingerprints(docs, "doc_id").collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["doc_id"], set()).add((r["pos"], r["fp"]))
+    for i, t in enumerate(texts):
+        assert got[i] == _py_winnow_replay(t), (i, t)
+
+
+def test_winnow_oracle_parity_on_edge_whitespace(spark, tmp_path):
+    """Spark winnow_fingerprints vs the driver's DuckDB oracle SQL on
+    documents containing NBSP, U+2028, vertical tab, form feed, and
+    leading/trailing tabs/newlines — the exact edge ADVICE r04 flagged
+    as a latent parity gap between Python str.split() (Unicode
+    whitespace) and RE2 '\\s' (ASCII). Both engines now share the
+    explicit class textops._WS_CLASS; this test pins the agreement
+    with actual non-ASCII-whitespace fixtures rather than relying on
+    the sf corpus never containing one."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+    from tortank_spark.textops import winnow_fingerprints
+
+    texts = [
+        "\t leading tabs and trailing newlines \n\n",
+        "nbsp inside and U+2028 inside stay token chars",
+        "vertical\x0btab and form\x0cfeed DO split",
+        "plain ascii control case",
+        "  ",  # only non-ASCII ws -> norm is the 2-char text
+    ]
+    pdf = pd.DataFrame(
+        {"doc_id": list(range(len(texts))), "text": texts}
+    )
+    docs = spark.createDataFrame(pdf)
+    spark_rows = {
+        (r["doc_id"], r["pos"], r["fp"])
+        for r in winnow_fingerprints(docs, "doc_id").collect()
+    }
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    oracle_rows = {
+        tuple(r) for r in con.execute(
+            entrymod.oracle_sql()["text_winnow"]
+        ).fetchall()
+    }
+    assert spark_rows == oracle_rows

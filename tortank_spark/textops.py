@@ -75,6 +75,62 @@ def doc_fingerprint(text: Column) -> Column:
     return F.md5(norm)
 
 
+# winnowing k-gram hash constants — shared bit-for-bit by the numpy
+# production path, the pure-Python replay (_winnow_gram_hashes, the
+# property-test twin), and the DuckDB oracle (__spark_entry__
+# _ORACLE_WINNOW builds the identical fold + finalizer in SQL):
+#   h = fold(codepoints, h*B + c) mod 2^64, then one xorshift-multiply
+#   finalizer round u^=u>>33; u*=C mod 2^64; u^=u>>29 for avalanche
+#   (a polynomial hash alone leaves the min-selection biased toward
+#   the leading characters).
+# B is the FNV-64 prime; C is the xorshift64* multiplier — chosen
+# < 2^62 so the oracle's HUGEINT product u*C < 2^126 never overflows
+# DuckDB's signed 128-bit arithmetic (md5-based round-4 hash was
+# SQL-reproducible too, but cost one interpreter-level hashlib call
+# PER CHARACTER — the most expensive inner loop in the repo at scale;
+# this formulation is ~5 numpy vector ops per document).
+_WINNOW_B = 1099511628211
+_WINNOW_C = 2685821657736338717
+
+# whitespace normalization: an EXPLICIT ASCII class used verbatim by
+# both engines (Python re here, RE2 regexp_split_to_array in the
+# oracle). Python str.split() (full Unicode: NBSP, U+2028, ...) vs
+# DuckDB '\s' (ASCII-only RE2) silently diverge on non-ASCII
+# whitespace — pinning one shared class closes that latent parity gap
+# (tested with NBSP/U+2028 fixtures in test_operators).
+_WS_CLASS = r"[ \t\n\r\f\v]+"
+_WS_SPLIT_RE = None  # compiled lazily (module import stays light)
+
+
+def _normalize_ws(text: str | None) -> str:
+    global _WS_SPLIT_RE
+    if _WS_SPLIT_RE is None:
+        import re
+
+        _WS_SPLIT_RE = re.compile(_WS_CLASS)
+    return " ".join(t for t in _WS_SPLIT_RE.split((text or "").lower()) if t)
+
+
+def _winnow_gram_hashes(norm: str, k: int) -> list[int]:
+    """Pure-Python replay of the winnow k-gram hash (the slow twin the
+    property tests pin the numpy path against). Returns ONE whole-text
+    hash for texts shorter than k, else one hash per k-gram."""
+    M = 1 << 64
+
+    def fold(cps):
+        h = 0
+        for c in cps:
+            h = (h * _WINNOW_B + c) % M
+        h ^= h >> 33
+        h = (h * _WINNOW_C) % M
+        return h ^ (h >> 29)
+
+    cps = [ord(c) for c in norm]
+    if len(cps) < k:
+        return [fold(cps)]
+    return [fold(cps[i : i + k]) for i in range(len(cps) - k + 1)]
+
+
 def winnow_fingerprints(
     df: DataFrame, id_col: str, text_col: str = "text",
     k: int = 5, w: int = 4,
@@ -83,23 +139,27 @@ def winnow_fingerprints(
     "Winnowing: Local Algorithms for Document Fingerprinting",
     SIGMOD'03 — the standard rolling-hash fingerprint selection): char
     k-grams over the whitespace-normalized lowercase text, each hashed
-    with md5-low-64 (deliberately SQL-reproducible, same idiom as
-    simhash's token hash); every window of ``w`` consecutive k-gram
-    hashes contributes its minimum, taking the RIGHTMOST position on
-    ties (the paper's rule); output = distinct
-    (id, pos, fp) rows. Guarantee: two documents sharing any substring
-    of length >= w + k - 1 share at least one fingerprint.
+    with a vectorized polynomial-fold + xorshift-multiply finalizer
+    (constants above; SQL-reproducible — the DuckDB oracle replays the
+    identical fold, so the driver check stays a FULL value oracle);
+    every window of ``w`` consecutive k-gram hashes contributes its
+    minimum, taking the RIGHTMOST position on ties (the paper's rule);
+    output = distinct (id, pos, fp) rows. Guarantee: two documents
+    sharing any substring of length >= w + k - 1 share at least one
+    fingerprint.
 
     Texts shorter than k characters (after normalization) emit a
     single (pos=0, hash-of-whole-text) row so every doc has >= 1
     fingerprint. Hash comparisons happen in uint64 on both engines;
     the emitted fp is the two's-complement int64 of the uint64 hash.
 
-    Scale shape: one Arrow pandas stage (numpy sliding windows), no
-    shuffle; downstream near-dup candidate generation is a bucket
-    equi-join on fp — identical join geometry to MinHash-LSH."""
-    import hashlib
-
+    Scale shape: one Arrow pandas stage, no shuffle, and the per-doc
+    work is ~k+3 numpy vector ops over the codepoint array (no
+    per-gram Python-level hashing — the round-4 md5 formulation cost
+    one interpreter hashlib call per character, the repo's most
+    expensive inner loop at 100 TB); downstream near-dup candidate
+    generation is a bucket equi-join on fp — identical join geometry
+    to MinHash-LSH."""
     import numpy as np
     from pyspark.sql.types import LongType
 
@@ -111,38 +171,72 @@ def winnow_fingerprints(
         ]
     )
 
-    def _h64(sgram: str) -> int:
-        return int(hashlib.md5(sgram.encode()).hexdigest()[:16], 16)
+    B, C = np.uint64(_WINNOW_B), np.uint64(_WINNOW_C)
+    s33, s29 = np.uint64(33), np.uint64(29)
 
-    def _signed(u: int) -> int:
-        return u - (1 << 64) if u >= (1 << 63) else u
+    def _finalize(h):
+        h = h ^ (h >> s33)
+        h = h * C
+        return h ^ (h >> s29)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, poss, fps = [], [], []
-            for did, text in zip(pdf[id_col].values, pdf[text_col].values):
-                norm = " ".join((text or "").lower().split())
-                n_grams = len(norm) - k + 1
-                if n_grams <= 0:
-                    ids.append(did)
-                    poss.append(0)
-                    fps.append(_signed(_h64(norm)))
-                    continue
-                hs = np.fromiter(
-                    (_h64(norm[i : i + k]) for i in range(n_grams)),
-                    dtype=np.uint64, count=n_grams,
-                )
+            # per-doc RESULT ARRAYS, concatenated once per batch: the
+            # round-4 shape collected (pos, fp) pairs through a Python
+            # set + per-element appends — on the 1.9 MB heavy doc that
+            # is ~1.7M interpreter iterations (~11 s measured, dwarfing
+            # even the old md5 loop). np.unique + int64 view keeps the
+            # whole selection columnar.
+            pos_parts, fp_parts, counts = [], [], []
+            for text in pdf[text_col].values:
+                norm = _normalize_ws(text)
+                # utf-32-le = exactly one array element per codepoint,
+                # so gram positions stay CHARACTER positions (matching
+                # DuckDB's character-based substr in the oracle)
+                cp = np.frombuffer(
+                    norm.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.uint64)
+                n_grams = cp.size - k + 1
+                with np.errstate(over="ignore"):  # uint64 wrap IS the hash
+                    if n_grams <= 0:
+                        h = np.uint64(0)
+                        for c in cp:  # < k iterations
+                            h = h * B + c
+                        pos_parts.append(np.zeros(1, dtype=np.int64))
+                        fp_parts.append(
+                            np.array([_finalize(h)],
+                                     dtype=np.uint64).view(np.int64)
+                        )
+                        counts.append(1)
+                        continue
+                    h = np.zeros(n_grams, dtype=np.uint64)
+                    for j in range(k):  # k vector ops, no per-gram loop
+                        h = h * B + cp[j : j + n_grams]
+                    hs = _finalize(h)
                 ww = min(w, n_grams)
                 win = np.lib.stride_tricks.sliding_window_view(hs, ww)
                 # rightmost min: argmin over the REVERSED window
                 idx = (ww - 1) - np.argmin(win[:, ::-1], axis=1)
                 sel_pos = np.arange(len(win)) + idx
-                pairs = {(int(p), int(hs[p])) for p in sel_pos}
-                for p, u in sorted(pairs):
-                    ids.append(did)
-                    poss.append(p)
-                    fps.append(_signed(u))
-            yield pd.DataFrame({id_col: ids, "pos": poss, "fp": fps})
+                uniq = np.unique(sel_pos)  # sorted distinct positions
+                pos_parts.append(uniq.astype(np.int64))
+                # uint64 -> int64 view IS the two's-complement reinterp
+                fp_parts.append(hs[uniq].view(np.int64))
+                counts.append(uniq.size)
+            if not counts:
+                yield pd.DataFrame(
+                    {id_col: pdf[id_col].values[:0],
+                     "pos": np.zeros(0, dtype=np.int64),
+                     "fp": np.zeros(0, dtype=np.int64)}
+                )
+                continue
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].values, counts),
+                    "pos": np.concatenate(pos_parts),
+                    "fp": np.concatenate(fp_parts),
+                }
+            )
 
     return df.select(id_col, text_col).mapInPandas(gen, schema=schema)
 
