@@ -84,6 +84,12 @@ def test_serialization_roundtrip(spark, tmp_path):
     d.to_file(p, as_json=True)
     d3 = TurtleDocFrame.from_rdf_json_file(spark, p)
     assert len(d.difference(d3)) == 0 and len(d3.difference(d)) == 0
+    # the streaming pretty-Turtle file writer emits byte-identically
+    # to the driver-assembled turtle_document string
+    from tortank_spark import serialize
+    pt = tmp_path / "doc.ttl"
+    serialize.write_turtle_pretty(d.df, str(pt))
+    assert pt.read_text(encoding="utf-8") == ttl
 
 
 def test_from_file_extension_check(spark, tmp_path):

@@ -280,19 +280,24 @@ def test_textops_counts_and_quality(spark):
             (1, "the cat is in the hat"),
             (2, "le chat est dans le chapeau et il est content que"),
             (3, ""),
+            # exactly one stopword hit each for fr ("le") and de
+            # ("der"): the tie must resolve by profile insertion order
+            # (fr precedes de) — pinned against the oracle's >=-ladder
+            (4, "le der tiebreak row"),
         ],
         "doc_id long, text string",
     )
     counts = {r["doc_id"]: r["n"] for r in docs.select(
         "doc_id", token_count(F.col("text")).alias("n")).collect()}
-    assert counts == {1: 6, 2: 11, 3: 0}
+    assert counts == {1: 6, 2: 11, 3: 0, 4: 4}
     q = quality_features(docs).filter(F.col("doc_id") == 1).collect()[0]
     assert q["q_n_tokens"] == 6 and q["q_stopword_ratio"] > 0
     langs = {r["doc_id"]: r["lang_pred"]
              for r in detect_language(docs).collect()}
     assert langs[1] == "en" and langs[2] == "fr"
+    assert langs[3] == "und" and langs[4] == "fr"
     fps = docs.select(doc_fingerprint(F.col("text")).alias("fp")).collect()
-    assert len({r["fp"] for r in fps}) == 3
+    assert len({r["fp"] for r in fps}) == 4
 
 
 def test_multimodal_feature_plumbing(spark):

@@ -310,8 +310,13 @@ def test_pbucketed_pattern_scan_prunes_directories(spark, tmp_path_factory):
 def test_lazy_dedup_builders_persist_and_release_on_request(spark):
     """eager=False keeps the internal signature/bucket cache (the
     stage feeds 2-3 plan branches — dropping the persist would re-run
-    the Python stage per branch) and hands its handle to the caller
-    via release_caches, since the plan node is otherwise unreachable."""
+    the Python stage per branch) and returns an EXPLICIT (df, handle)
+    pair, since the plan node is otherwise unreachable. The handle
+    must keep working however the DataFrame is derived afterwards —
+    the round-4 DataFrame-attribute scheme silently no-opped on any
+    filter/select derivation (ADVICE r04)."""
+    from pyspark.sql import functions as F
+
     from tortank_spark.dedup import minhash_dedup_pairs, release_caches
 
     docs = spark.createDataFrame(
@@ -319,10 +324,31 @@ def test_lazy_dedup_builders_persist_and_release_on_request(spark):
         "doc_id long, text string",
     )
     jsc = spark.sparkContext._jsc
-    before = jsc.getPersistentRDDs().size()
-    out = minhash_dedup_pairs(docs, "doc_id", threshold=0.5, eager=False)
-    out.collect()
-    assert jsc.getPersistentRDDs().size() == before + 1  # sigs cached
-    release_caches(out)
-    assert jsc.getPersistentRDDs().size() == before
-    release_caches(out)  # idempotent, and no-op on eager results
+
+    def persistent_ids():
+        # track IDS, not counts: the async ContextCleaner may reclaim
+        # OTHER tests' dropped checkpoint RDDs mid-test, so count
+        # equality is racy in a full-suite run
+        return {int(k) for k in jsc.getPersistentRDDs().keySet().toArray()}
+
+    before = persistent_ids()
+    out, handle = minhash_dedup_pairs(docs, "doc_id", threshold=0.5,
+                                      eager=False)
+    # derive freely — the handle is independent of the frame object
+    derived = out.filter(F.col("jaccard_est") >= 0.0).select("a", "b")
+    derived.collect()
+    new_ids = persistent_ids() - before
+    assert len(new_ids) == 1, f"expected 1 new cache, got {new_ids}"
+    handle.release()
+    assert not (persistent_ids() & new_ids)
+    handle.release()               # idempotent
+    release_caches(handle)         # helper accepts the handle...
+    release_caches((out, handle))  # ...or the whole result tuple
+    # context-manager form releases on exit
+    out2, h2 = minhash_dedup_pairs(docs, "doc_id", threshold=0.5,
+                                   eager=False)
+    with h2:
+        out2.collect()
+        new2 = persistent_ids() - before
+        assert len(new2) == 1
+    assert not (persistent_ids() & new2)

@@ -213,19 +213,46 @@ def minhash_jaccard_estimate(
     )
 
 
-def _attach_caches(out: DataFrame, deps: list[DataFrame]) -> DataFrame:
-    """Record internal persisted dependencies on the returned frame so
-    lazy (eager=False) callers can release them — the plan nodes are
-    otherwise unreachable from outside."""
-    out._tortank_caches = deps
-    return out
+class CacheHandle:
+    """Explicit handle to the internal persisted dependencies of a
+    lazy (``eager=False``) dedup builder result. The builders persist
+    an intermediate (signatures / LSH buckets / fingerprints) that
+    feeds 2-3 plan branches; the plan node is unreachable from the
+    returned DataFrame, so the builder hands this handle back
+    alongside it: ``pairs, caches = minhash_dedup_pairs(..,
+    eager=False)``. Call :meth:`release` after the terminal action, or
+    use it as a context manager. Idempotent.
+
+    (Round-4 attached the dependency list as a Python attribute on the
+    returned DataFrame; any derived frame — filter/select/join —
+    silently lost it and release became a no-op, leaking the cache for
+    the session. An explicit handle survives arbitrary derivation —
+    ADVICE r04.)"""
+
+    def __init__(self, deps: list[DataFrame]):
+        self._deps = list(deps)
+
+    def release(self) -> None:
+        while self._deps:
+            self._deps.pop().unpersist()
+
+    def __enter__(self) -> "CacheHandle":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.release()
 
 
-def release_caches(df: DataFrame) -> None:
-    """Unpersist the internal caches a lazy dedup builder attached to
-    ``df`` (no-op for eager results). Call after the terminal action."""
-    for dep in getattr(df, "_tortank_caches", []):
-        dep.unpersist()
+def release_caches(handle_or_result) -> None:
+    """Release the internal caches of a lazy dedup builder: accepts
+    the :class:`CacheHandle` itself or the whole ``(df, handle)``
+    result tuple. Idempotent."""
+    if isinstance(handle_or_result, CacheHandle):
+        handle_or_result.release()
+    elif isinstance(handle_or_result, tuple):
+        for x in handle_or_result:
+            if isinstance(x, CacheHandle):
+                x.release()
 
 
 def minhash_dedup_pairs(
@@ -246,16 +273,18 @@ def minhash_dedup_pairs(
     (localCheckpoint) and the signature cache is released before
     returning, so repeated calls in a long-lived session cannot
     accumulate executor storage. With ``eager=False`` the plan stays
-    lazy (use when you write the result out yourself in the same
-    job); the internal cache handle rides on the returned DataFrame —
-    call :func:`release_caches` on it after your terminal action (the
-    caller cannot reach the internal plan node any other way)."""
+    lazy (use when you write the result out yourself in the same job)
+    and the return value is a ``(pairs_df, CacheHandle)`` tuple —
+    call ``handle.release()`` (or :func:`release_caches`) after your
+    terminal action; the handle stays valid however the DataFrame is
+    further derived (the caller cannot reach the internal plan node
+    any other way)."""
     sigs = minhash_signatures(df, id_col, text_col, n_hashes).persist()
     if not eager:
         pairs = lsh_candidate_pairs(sigs, id_col, bands)
         est = minhash_jaccard_estimate(sigs, pairs, id_col)
         out = est.filter(F.col("jaccard_est") >= threshold)
-        return _attach_caches(out, [sigs])
+        return out, CacheHandle([sigs])
     try:
         pairs = lsh_candidate_pairs(sigs, id_col, bands)
         est = minhash_jaccard_estimate(sigs, pairs, id_col)
@@ -448,8 +477,9 @@ def embedding_neardup_lsh(
     ``eager`` (default): materialize the small pair output and release
     the bucket-table cache before returning; with ``eager=False`` the
     bucket table stays persisted (it feeds both self-join sides) and
-    its handle rides on the result — call :func:`release_caches`
-    after your terminal action (see minhash_dedup_pairs)."""
+    the return value is a ``(pairs_df, CacheHandle)`` tuple — call
+    ``handle.release()`` after your terminal action (see
+    minhash_dedup_pairs)."""
     from .similarity import _table_planes
 
     weights = 1 << np.arange(n_bits, dtype=np.int64)
@@ -513,7 +543,7 @@ def embedding_neardup_lsh(
         .select("a", "b", F.round("cosine", 6).alias("cosine"))
     )
     if not eager:
-        return _attach_caches(out, [banded])
+        return out, CacheHandle([banded])
     try:
         return out.localCheckpoint(eager=True)
     finally:

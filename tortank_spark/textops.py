@@ -261,9 +261,10 @@ def winnow_dedup_pairs(
     Cache lifetime follows dedup.minhash_dedup_pairs: the fingerprint
     table feeds the df-cap aggregate AND both self-join sides, so it
     is always persisted; ``eager`` (default) materializes the small
-    pair output and releases it, ``eager=False`` hands the handle to
-    the caller via dedup.release_caches."""
-    from .dedup import _attach_caches
+    pair output and releases it, ``eager=False`` returns a
+    ``(pairs_df, dedup.CacheHandle)`` tuple — call
+    ``handle.release()`` after the terminal action."""
+    from .dedup import CacheHandle
 
     fps = (
         winnow_fingerprints(df, id_col, text_col, k, w)
@@ -282,7 +283,7 @@ def winnow_dedup_pairs(
         .filter(F.col("n_shared") >= min_shared)
     )
     if not eager:
-        return _attach_caches(out, [fps])
+        return out, CacheHandle([fps])
     try:
         return out.localCheckpoint(eager=True)
     finally:
@@ -300,18 +301,43 @@ def detect_language(
     cols = [f.name for f in df.schema.fields]
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        langs = list(_LANG_PROFILES)
         for pdf in batches:
+            # fully columnar profile match: explode the token lists to
+            # one long frame, inner-merge against the (tiny) profile
+            # table, count distinct (row, lang) hits, take the argmax
+            # per row. (Round-4 looped rows in Python for the set
+            # intersection — constant tiny work per row, but the
+            # explode+merge keeps the whole batch in pandas C code.)
             toks = pdf[text_col].fillna("").str.lower().str.split()
-            preds = []
-            for ts in toks:
-                s = set(ts)
-                best, best_n = "und", 0
-                for lang, prof in _LANG_PROFILES.items():
-                    n = len(s & prof)
-                    if n > best_n:
-                        best, best_n = lang, n
-                preds.append(best)
-            pdf[out_col] = preds
+            ex = toks.explode().dropna().reset_index()
+            ex.columns = ["_row", "_tok"]
+            prof = pd.DataFrame(
+                [(lang, t) for lang in langs for t in _LANG_PROFILES[lang]],
+                columns=["_lang", "_tok"],
+            )
+            hits = (
+                ex.drop_duplicates()
+                .merge(prof, on="_tok")
+                .groupby(["_row", "_lang"], sort=False)
+                .size()
+                .reset_index(name="_n")
+            )
+            if len(hits):
+                # tie-break = profile INSERTION order (en before fr
+                # before de ...), matching the oracle's >=-ladder and
+                # the round-4 loop's first-strict-max semantics
+                hits["_ord"] = hits["_lang"].map(
+                    {lang: i for i, lang in enumerate(langs)}
+                )
+                best = hits.sort_values(
+                    ["_n", "_ord"], ascending=[False, True], kind="stable"
+                ).drop_duplicates("_row").set_index("_row")["_lang"]
+            else:
+                best = pd.Series(dtype=object)
+            pdf[out_col] = (
+                pd.Series(pdf.index, index=pdf.index).map(best).fillna("und")
+            )
             yield pdf[cols + [out_col]]
 
     return df.mapInPandas(gen, schema=schema)
