@@ -959,6 +959,50 @@ GROUP BY 1, 2 HAVING count(*) >= 12
 """
 
 
+def _q_winnow_spans(spark, sf_dir):
+    """MOSS-style overlap localization (winnow_match_spans): maximal
+    shared-fingerprint position islands per doc pair — WHERE the
+    shared material sits in doc a, the decontamination span report.
+    FULL value oracle: DuckDB replays fingerprints, the row-count df
+    cap, the a-positions x b-docs join, and the identical
+    gaps-and-islands window arithmetic (lag + running sum)."""
+    from tortank_spark.textops import winnow_match_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return winnow_match_spans(docs, "doc_id")
+
+
+# gaps-and-islands replay of winnow_match_spans defaults
+# (max_gap=50, min_fps=5, max_df=50); fp0's cap counts ROWS (positions)
+# per fingerprint, matching the Spark side's stricter bucket bound
+_ORACLE_WINNOW_SPANS = r"""
+WITH fp0 AS (SELECT DISTINCT doc_id, pos, fp FROM (%s)),
+rare AS (SELECT fp FROM fp0 GROUP BY fp HAVING count(*) <= 50),
+nar AS (SELECT f.doc_id, f.pos, f.fp FROM fp0 f JOIN rare USING (fp)),
+rgt AS (SELECT DISTINCT doc_id AS b, fp FROM nar),
+shared AS (
+  SELECT DISTINCT l.doc_id AS a, r.b, l.pos
+  FROM nar l JOIN rgt r ON l.fp = r.fp AND l.doc_id < r.b
+),
+brk AS (
+  SELECT a, b, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY a, b ORDER BY pos)
+                  > 50
+              THEN 1 ELSE 0 END AS brk
+  FROM shared
+),
+isl AS (
+  SELECT a, b, pos,
+         sum(brk) OVER (PARTITION BY a, b ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS g
+  FROM brk
+)
+SELECT a, b, min(pos) AS a_start, max(pos) AS a_end,
+       count(*) AS n_fps
+FROM isl GROUP BY a, b, g HAVING count(*) >= 5
+"""
+
+
 def _q_multimodal_features(spark, sf_dir):
     """REAL multimodal decode (PPM/BMP images, WAV audio — pure numpy;
     video stays stubbed: compressed containers need codec libs). FULL
@@ -1472,6 +1516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _q_doc_fingerprint,
         "text_winnow": _q_winnow_fingerprint,
         "dedup_winnow": _q_winnow_neardup,
+        "text_winnow_spans": _q_winnow_spans,
         "text_quality": _q_quality,
         "text_lang_id": _q_lang_id,
         "sim_topk_cosine": _q_topk_cosine,
@@ -1627,6 +1672,7 @@ def oracle_sql() -> dict[str, str]:
         **_text_oracles(),
         "text_winnow": _ORACLE_WINNOW,
         "dedup_winnow": _ORACLE_WINNOW_PAIRS % _ORACLE_WINNOW,
+        "text_winnow_spans": _ORACLE_WINNOW_SPANS % _ORACLE_WINNOW,
         "mm_features": _ORACLE_MM_FEATURES,
         "mm_resize": _ORACLE_MM_RESIZE,
         "mm_frames": _ORACLE_MM_FRAMES,

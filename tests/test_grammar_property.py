@@ -147,3 +147,51 @@ def test_string_fastpath_slowpath_agree(v):
     slow, err2 = parse_document(doc2)
     assert err2 is None, (err2, doc2)
     assert slow[0][3] == v + "\t"
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(max_size=400))
+def test_winnow_hash_vectorized_matches_python_fold(text):
+    """textops winnow k-gram hashing: the numpy uint64-wraparound
+    production arithmetic must agree bit-for-bit with the pure-Python
+    mod-2^64 fold on arbitrary unicode text (incl. surrogates-free
+    codepoints hypothesis generates), both for the per-gram hashes and
+    the short-text whole-string hash. This is the no-Spark core of the
+    equivalence that licenses the fast path; the Spark-level test
+    (test_operators) covers the full selection + DuckDB oracle."""
+    import numpy as np
+
+    from tortank_spark.textops import (
+        _WINNOW_B,
+        _WINNOW_C,
+        _normalize_ws,
+        _winnow_gram_hashes,
+    )
+
+    k = 5
+    norm = _normalize_ws(text)
+    want = _winnow_gram_hashes(norm, k)
+
+    B, C = np.uint64(_WINNOW_B), np.uint64(_WINNOW_C)
+
+    def fin(h):
+        h = h ^ (h >> np.uint64(33))
+        h = h * C
+        return h ^ (h >> np.uint64(29))
+
+    cp = np.frombuffer(norm.encode("utf-32-le"), dtype=np.uint32).astype(
+        np.uint64
+    )
+    n_grams = cp.size - k + 1
+    with np.errstate(over="ignore"):
+        if n_grams <= 0:
+            h = np.uint64(0)
+            for c in cp:
+                h = h * B + c
+            got = [int(fin(h))]
+        else:
+            h = np.zeros(n_grams, dtype=np.uint64)
+            for j in range(k):
+                h = h * B + cp[j : j + n_grams]
+            got = [int(x) for x in fin(h)]
+    assert got == want

@@ -1069,3 +1069,43 @@ def test_winnow_oracle_parity_on_edge_whitespace(spark, tmp_path):
         ).fetchall()
     }
     assert spark_rows == oracle_rows
+
+
+def test_winnow_match_spans_localizes_planted_overlap(spark):
+    """MOSS-style span localization: two docs sharing one long
+    substring produce ONE island in doc a that covers the shared
+    region's positions; two DISJOINT shared substrings separated by a
+    long unshared stretch produce TWO islands; unrelated docs produce
+    none. Also pins the ordering contract a < b."""
+    from tortank_spark.textops import winnow_match_spans
+
+    shared1 = "quantum flux capacitors oscillate near resonance bands"
+    shared2 = "gradient descent converges under convex regularization"
+    filler = "z y x w v u t s r q p o n m l k j i h g f e d c b a " * 4
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared1} {filler} {shared2}"),
+            (2, f"intro text then {shared1} and much later {shared2}"),
+            (3, "entirely unrelated content about cooking pasta dishes"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = winnow_match_spans(
+        docs, "doc_id", max_gap=30, min_fps=3, max_df=10
+    ).collect()
+    by_pair = {}
+    for r in rows:
+        assert r["a"] < r["b"]
+        assert r["a_start"] <= r["a_end"] and r["n_fps"] >= 3
+        by_pair.setdefault((r["a"], r["b"]), []).append(
+            (r["a_start"], r["a_end"], r["n_fps"])
+        )
+    assert (1, 2) in by_pair
+    spans = sorted(by_pair[(1, 2)])
+    # the two shared substrings sit at the far ends of doc 1 with
+    # ~200 chars of unshared filler between them: two islands
+    assert len(spans) == 2, spans
+    norm1 = f"{shared1} {filler} {shared2}".lower()
+    assert spans[0][0] < len(shared1)  # first island inside shared1
+    assert spans[1][1] >= norm1.index(shared2)  # second inside shared2
+    assert not any(3 in p for p in by_pair)

@@ -352,3 +352,23 @@ def test_lazy_dedup_builders_persist_and_release_on_request(spark):
         new2 = persistent_ids() - before
         assert len(new2) == 1
     assert not (persistent_ids() & new2)
+
+
+def test_winnow_span_generator_never_cross_joins(spark):
+    """winnow_match_spans joins a-positions against distinct (b, fp)
+    on the capped fingerprint — a bucketed equi-join like every other
+    candidate generator; a CartesianProduct/BroadcastNestedLoopJoin in
+    the plan means it degraded to all-pairs. eager=False exposes the
+    unreplayed plan (the eager path checkpoints)."""
+    from tortank_spark.dedup import release_caches
+    from tortank_spark.textops import winnow_match_spans
+
+    docs = spark.createDataFrame(
+        [(i, f"shared body text here tail{i} variant{i}") for i in range(6)],
+        "doc_id long, text string",
+    )
+    out, handle = winnow_match_spans(docs, "doc_id", eager=False)
+    plan = plan_of(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    release_caches(handle)

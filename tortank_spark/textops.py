@@ -290,6 +290,87 @@ def winnow_dedup_pairs(
         fps.unpersist()
 
 
+def winnow_match_spans(
+    df: DataFrame, id_col: str, text_col: str = "text",
+    k: int = 5, w: int = 4, max_gap: int = 50, min_fps: int = 5,
+    max_df: int = 50, eager: bool = True,
+) -> DataFrame:
+    """MOSS-style overlap LOCALIZATION on winnow fingerprints: for
+    each ordered doc pair (a < b) sharing rare fingerprints, the
+    maximal position runs ("islands") in document ``a`` whose
+    fingerprints also occur in ``b`` — i.e. WHERE the shared material
+    sits, not just that it exists (winnow_dedup_pairs answers that).
+    The training-data use is decontamination: a span report says which
+    region of a crawled document reproduces an eval document. Islands
+    cluster consecutive shared positions with char-gap <= ``max_gap``
+    (the winnowing guarantee puts a selected fingerprint at least
+    every w + k - 1 = 8 chars inside a true shared substring, so any
+    max_gap >= 8 never splits a genuine match); spans carrying fewer
+    than ``min_fps`` shared fingerprints are noise-dropped. Output:
+    (a, b, a_start, a_end, n_fps).
+
+    Scale shape: entirely JVM-side on top of the fingerprint table —
+    the ``max_df`` cap bounds the fp equi-join's buckets exactly as in
+    winnow_dedup_pairs (no bucket exceeds max_df rows per side,
+    regardless of corpus growth), the b-side narrows to DISTINCT
+    (id, fp) before the join, and the island construction is one
+    window over (a, b) — the classic gaps-and-islands running sum,
+    whole-stage-codegen'd, no Python. Deterministic, fully
+    SQL-replayable (the driver oracle replays fingerprints, df cap,
+    join, and the same window arithmetic). Cache lifetime follows
+    winnow_dedup_pairs: ``eager`` (default) materializes the small
+    span output and releases the fingerprint cache; ``eager=False``
+    returns ``(spans_df, dedup.CacheHandle)``."""
+    from pyspark.sql import Window
+
+    from .dedup import CacheHandle
+
+    fps = (
+        winnow_fingerprints(df, id_col, text_col, k, w)
+        .select(id_col, "pos", "fp").distinct().persist()
+    )
+    rare = fps.groupBy("fp").agg(F.count("*").alias("_df")).filter(
+        F.col("_df") <= max_df
+    ).select("fp")
+    nar = fps.join(rare, "fp")
+    left = nar.select(F.col(id_col).alias("a"), "pos", "fp")
+    right = nar.select(F.col(id_col).alias("b"), "fp").distinct()
+    shared = (
+        left.join(right, (left["fp"] == right["fp"])
+                  & (F.col("a") < F.col("b")))
+        .select("a", "b", "pos")
+        .distinct()
+    )
+    win = Window.partitionBy("a", "b").orderBy("pos")
+    islands = shared.withColumn(
+        "_brk",
+        F.when(
+            F.col("pos") - F.lag("pos").over(win) > max_gap, 1
+        ).otherwise(0),
+    ).withColumn(
+        "_isl",
+        F.sum("_brk").over(
+            win.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    out = (
+        islands.groupBy("a", "b", "_isl")
+        .agg(
+            F.min("pos").alias("a_start"),
+            F.max("pos").alias("a_end"),
+            F.count("*").alias("n_fps"),
+        )
+        .filter(F.col("n_fps") >= min_fps)
+        .select("a", "b", "a_start", "a_end", "n_fps")
+    )
+    if not eager:
+        return out, CacheHandle([fps])
+    try:
+        return out.localCheckpoint(eager=True)
+    finally:
+        fps.unpersist()
+
+
 def detect_language(
     df: DataFrame, text_col: str = "text", out_col: str = "lang_pred"
 ) -> DataFrame:
