@@ -972,6 +972,58 @@ def _q_winnow_spans(spark, sf_dir):
     return winnow_match_spans(docs, "doc_id")
 
 
+def _q_contamination(spark, sf_dir):
+    """Train-vs-eval decontamination spans (winnow_contamination):
+    the documents table split by doc_id parity — evens play the
+    crawled corpus, odds play the (small, BROADCAST) eval set; output
+    = char-position spans in corpus docs reproducing eval material.
+    FULL value oracle: winnowing is per-document, so the fingerprints
+    of each split are exactly the full fp table filtered by parity —
+    DuckDB replays the split, the corpus-side df cap, the join, and
+    the islands window."""
+    import pyspark.sql.functions as F
+
+    from tortank_spark.textops import winnow_contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    evals = docs.filter(F.col("doc_id") % 2 == 1).select(
+        F.col("doc_id").alias("eval_id"), "text"
+    )
+    return winnow_contamination(corpus, evals)
+
+
+_ORACLE_CONTAMINATION = r"""
+WITH allfp AS (SELECT DISTINCT doc_id, pos, fp FROM (%s)),
+cf AS (SELECT doc_id, pos, fp FROM allfp WHERE doc_id %% 2 = 0),
+rare AS (SELECT fp FROM cf GROUP BY fp HAVING count(*) <= 50),
+nar AS (SELECT c.doc_id, c.pos, c.fp FROM cf c JOIN rare USING (fp)),
+ef AS (
+  SELECT DISTINCT doc_id AS eval_id, fp FROM allfp WHERE doc_id %% 2 = 1
+),
+shared AS (
+  SELECT DISTINCT n.doc_id, e.eval_id, n.pos
+  FROM nar n JOIN ef e ON n.fp = e.fp
+),
+brk AS (
+  SELECT doc_id, eval_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id, eval_id
+                                        ORDER BY pos) > 50
+              THEN 1 ELSE 0 END AS brk
+  FROM shared
+),
+isl AS (
+  SELECT doc_id, eval_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id, eval_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS g
+  FROM brk
+)
+SELECT doc_id, eval_id, min(pos) AS a_start, max(pos) AS a_end,
+       count(*) AS n_fps
+FROM isl GROUP BY doc_id, eval_id, g HAVING count(*) >= 5
+"""
+
+
 # gaps-and-islands replay of winnow_match_spans defaults
 # (max_gap=50, min_fps=5, max_df=50); fp0's cap counts ROWS (positions)
 # per fingerprint, matching the Spark side's stricter bucket bound
@@ -1517,6 +1569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_winnow": _q_winnow_fingerprint,
         "dedup_winnow": _q_winnow_neardup,
         "text_winnow_spans": _q_winnow_spans,
+        "text_contamination": _q_contamination,
         "text_quality": _q_quality,
         "text_lang_id": _q_lang_id,
         "sim_topk_cosine": _q_topk_cosine,
@@ -1673,6 +1726,7 @@ def oracle_sql() -> dict[str, str]:
         "text_winnow": _ORACLE_WINNOW,
         "dedup_winnow": _ORACLE_WINNOW_PAIRS % _ORACLE_WINNOW,
         "text_winnow_spans": _ORACLE_WINNOW_SPANS % _ORACLE_WINNOW,
+        "text_contamination": _ORACLE_CONTAMINATION % _ORACLE_WINNOW,
         "mm_features": _ORACLE_MM_FEATURES,
         "mm_resize": _ORACLE_MM_RESIZE,
         "mm_frames": _ORACLE_MM_FRAMES,

@@ -1109,3 +1109,35 @@ def test_winnow_match_spans_localizes_planted_overlap(spark):
     assert spans[0][0] < len(shared1)  # first island inside shared1
     assert spans[1][1] >= norm1.index(shared2)  # second inside shared2
     assert not any(3 in p for p in by_pair)
+
+
+def test_winnow_contamination_flags_eval_overlap(spark):
+    """Train-vs-eval decontamination: a corpus doc embedding an eval
+    passage produces a span over that passage against THAT eval doc;
+    clean corpus docs produce nothing; the corpus never pairs with
+    itself (two corpus docs sharing text is winnow_match_spans'
+    job, not this operator's)."""
+    from tortank_spark.textops import winnow_contamination
+
+    eval_passage = "the mitochondria is the powerhouse of the cell"
+    corpus = spark.createDataFrame(
+        [
+            (10, f"scraped page intro {eval_passage} scraped page tail"),
+            (11, f"another page also contains {eval_passage} verbatim"),
+            (12, "a perfectly clean page about gardening tips in spring"),
+        ],
+        "doc_id long, text string",
+    )
+    evals = spark.createDataFrame(
+        [(100, eval_passage), (200, "unrelated benchmark question text")],
+        "eval_id long, text string",
+    )
+    rows = winnow_contamination(
+        corpus, evals, max_gap=30, min_fps=3, max_df=20
+    ).collect()
+    hits = {(r["doc_id"], r["eval_id"]) for r in rows}
+    assert (10, 100) in hits and (11, 100) in hits
+    assert not any(d == 12 for d, _ in hits)
+    assert not any(e == 200 for _, e in hits)
+    for r in rows:
+        assert r["a_start"] <= r["a_end"] and r["n_fps"] >= 3

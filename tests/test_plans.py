@@ -372,3 +372,27 @@ def test_winnow_span_generator_never_cross_joins(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     release_caches(handle)
+
+
+def test_winnow_contamination_broadcasts_eval_side(spark):
+    """The eval fingerprint table is small by construction (eval sets
+    are MBs against a 100-TB corpus): the fp join must be a
+    BroadcastHashJoin — a shuffled join here would shuffle the entire
+    corpus fingerprint stream — and never a cross join."""
+    from tortank_spark.dedup import release_caches
+    from tortank_spark.textops import winnow_contamination
+
+    corpus = spark.createDataFrame(
+        [(i, f"corpus body text number {i} with shared eval phrase")
+         for i in range(6)],
+        "doc_id long, text string",
+    )
+    evals = spark.createDataFrame(
+        [(0, "shared eval phrase")], "eval_id long, text string",
+    )
+    out, handle = winnow_contamination(corpus, evals, eager=False)
+    plan = plan_of(out)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    release_caches(handle)

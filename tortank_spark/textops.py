@@ -371,6 +371,79 @@ def winnow_match_spans(
         fps.unpersist()
 
 
+def winnow_contamination(
+    corpus: DataFrame, eval_df: DataFrame, id_col: str = "doc_id",
+    eval_id_col: str = "eval_id", text_col: str = "text",
+    k: int = 5, w: int = 4, max_gap: int = 50, min_fps: int = 5,
+    max_df: int = 50, eager: bool = True,
+) -> DataFrame:
+    """Train-vs-eval contamination spans: where does a CORPUS document
+    reproduce material from a (small) EVAL set? Same islands
+    construction as winnow_match_spans, but across two frames — the
+    production decontamination shape: at 100 TB the corpus NEVER
+    self-joins; the eval set's distinct (eval_id, fp) table is a few
+    MB and is explicitly broadcast, so the whole operator is one
+    map-side hash join over the corpus fingerprint stream plus a
+    window partitioned by (corpus doc, eval doc). The ``max_df`` cap
+    still bounds corpus-side rows per fingerprint (boilerplate
+    n-grams that also appear in an eval doc would otherwise
+    concentrate the window partitions). Output:
+    (id_col, eval_id_col, a_start, a_end, n_fps) — char-position spans
+    in the corpus document to excise or flag.
+
+    Deterministic and fully SQL-replayable; `tests/test_plans.py`
+    pins the broadcast (BroadcastHashJoin, no cross join)."""
+    from pyspark.sql import Window
+
+    from .dedup import CacheHandle
+
+    cfps = (
+        winnow_fingerprints(corpus, id_col, text_col, k, w)
+        .select(id_col, "pos", "fp").distinct().persist()
+    )
+    rare = cfps.groupBy("fp").agg(F.count("*").alias("_df")).filter(
+        F.col("_df") <= max_df
+    ).select("fp")
+    nar = cfps.join(rare, "fp")
+    efps = (
+        winnow_fingerprints(eval_df, eval_id_col, text_col, k, w)
+        .select(eval_id_col, "fp").distinct()
+    )
+    shared = (
+        nar.join(F.broadcast(efps), "fp")
+        .select(id_col, eval_id_col, "pos")
+        .distinct()
+    )
+    win = Window.partitionBy(id_col, eval_id_col).orderBy("pos")
+    islands = shared.withColumn(
+        "_brk",
+        F.when(
+            F.col("pos") - F.lag("pos").over(win) > max_gap, 1
+        ).otherwise(0),
+    ).withColumn(
+        "_isl",
+        F.sum("_brk").over(
+            win.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    out = (
+        islands.groupBy(id_col, eval_id_col, "_isl")
+        .agg(
+            F.min("pos").alias("a_start"),
+            F.max("pos").alias("a_end"),
+            F.count("*").alias("n_fps"),
+        )
+        .filter(F.col("n_fps") >= min_fps)
+        .select(id_col, eval_id_col, "a_start", "a_end", "n_fps")
+    )
+    if not eager:
+        return out, CacheHandle([cfps])
+    try:
+        return out.localCheckpoint(eager=True)
+    finally:
+        cfps.unpersist()
+
+
 def detect_language(
     df: DataFrame, text_col: str = "text", out_col: str = "lang_pred"
 ) -> DataFrame:
