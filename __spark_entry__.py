@@ -972,6 +972,40 @@ def _q_winnow_spans(spark, sf_dir):
     return winnow_match_spans(docs, "doc_id")
 
 
+def _q_triangles(spark, sf_dir):
+    """Per-node triangle counts over the lineitem co-purchase graph
+    (parts sharing an order are adjacent) — the clustering-coefficient
+    numerator, via degree-ordered orientation (graph.triangle_counts:
+    wedge stage bounded O(m^1.5) total, no celebrity-node straggler).
+    FULL value oracle: integer-exact, DuckDB replays the projection,
+    canonical edges, and a direct 3-way self-join (orientation changes
+    the enumeration ORDER, never the triangle set)."""
+    from tortank_spark.graph import triangle_counts
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pairs = li.distinct()
+    l1 = pairs.select("l_orderkey", F.col("l_partkey").alias("src"))
+    l2 = pairs.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    edges = l1.join(l2, "l_orderkey").filter(
+        F.col("src") < F.col("dst")
+    ).select("src", "dst")
+    return triangle_counts(edges)
+
+
+_ORACLE_TRIANGLES = """
+WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+      FROM lp l1 JOIN lp l2
+        ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey),
+t AS (SELECT e1.a, e1.b, e2.b AS c
+      FROM e e1 JOIN e e2 ON e2.a = e1.b
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+n AS (SELECT a AS node FROM t UNION ALL SELECT b FROM t
+      UNION ALL SELECT c FROM t)
+SELECT node, count(*) AS n_tri FROM n GROUP BY node
+"""
+
+
 def _q_contamination(spark, sf_dir):
     """Train-vs-eval decontamination spans (winnow_contamination):
     the documents table split by doc_id parity — evens play the
@@ -1550,6 +1584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_lsh": _q_embedding_neardup_lsh,
         "sim_lsh_recall": _q_lsh_recall,
         "kg_connected_components": _q_connected_components,
+        "kg_triangles": _q_triangles,
         "kg_entity_link": _q_entity_link,
         "r1_pattern_filter": _q_pattern_filter,
         "r2_parse_pattern": _q_parse_pattern,
@@ -1619,6 +1654,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 10 AS k, true AS recall_ok, true AS pruned_read"
         ),
         "kg_connected_components": _ORACLE_CC,
+        "kg_triangles": _ORACLE_TRIANGLES,
         "kg_entity_link": f"""
             WITH alias_dict(alias, entity_iri, prior) AS (VALUES {_ALIAS_VALUES}),
             toks AS (

@@ -1141,3 +1141,19 @@ def test_winnow_contamination_flags_eval_overlap(spark):
     assert not any(e == 200 for _, e in hits)
     for r in rows:
         assert r["a_start"] <= r["a_end"] and r["n_fps"] >= 3
+
+
+def test_triangle_counts_exact_on_known_graphs(spark):
+    """Per-node triangle participation: K4 has 4 triangles, every
+    vertex in C(3,2)=3 of them; attaching a pendant vertex adds none;
+    a square (4-cycle) has none; duplicate/reversed/self-loop edges
+    must not change counts."""
+    from tortank_spark.graph import triangle_counts
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges = k4 + [(3, 9)]                  # pendant
+    edges += [(10, 11), (11, 12), (12, 13), (13, 10)]  # C4: no triangles
+    edges += [(1, 0), (2, 2), (0, 1)]      # reversed dup + self-loop
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["n_tri"] for r in triangle_counts(df).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}

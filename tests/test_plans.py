@@ -396,3 +396,22 @@ def test_winnow_contamination_broadcasts_eval_side(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     release_caches(handle)
+
+
+def test_triangle_counts_all_equi_joins(spark):
+    """Triangle counting must stay equi-join-only (degree join,
+    wedge join on the shared low endpoint, closure probe) — a
+    CartesianProduct/BroadcastNestedLoopJoin means the ordering guard
+    slipped into the join condition instead of a post-join filter."""
+    from tortank_spark.dedup import release_caches
+    from tortank_spark.graph import triangle_counts
+
+    edges = spark.createDataFrame(
+        [(a, b) for a in range(8) for b in range(8) if a < b],
+        "src long, dst long",
+    )
+    out, handle = triangle_counts(edges, eager=False)
+    plan = plan_of(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    release_caches(handle)
