@@ -972,6 +972,31 @@ def _q_winnow_spans(spark, sf_dir):
     return winnow_match_spans(docs, "doc_id")
 
 
+def _q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sample: 20 docs per language, chosen
+    as the k smallest md5(doc_id) — reproducible across reruns,
+    engines, and partitionings (sampling.stratified_sample runs a
+    salted two-level tournament so no single task ever sorts a whole
+    web-scale stratum; the salt provably never changes the result, so
+    the oracle replays a plain per-stratum row_number)."""
+    from tortank_spark.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(docs, "lang", "doc_id", k=20).select(
+        "doc_id", "lang"
+    )
+
+
+_ORACLE_STRATIFIED = """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents) WHERE rn <= 20
+"""
+
+
 def _q_triangles(spark, sf_dir):
     """Per-node triangle counts over the lineitem co-purchase graph
     (parts sharing an order are adjacent) — the clustering-coefficient
@@ -1605,6 +1630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_winnow": _q_winnow_neardup,
         "text_winnow_spans": _q_winnow_spans,
         "text_contamination": _q_contamination,
+        "text_sample_stratified": _q_stratified_sample,
         "text_quality": _q_quality,
         "text_lang_id": _q_lang_id,
         "sim_topk_cosine": _q_topk_cosine,
@@ -1763,6 +1789,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_winnow": _ORACLE_WINNOW_PAIRS % _ORACLE_WINNOW,
         "text_winnow_spans": _ORACLE_WINNOW_SPANS % _ORACLE_WINNOW,
         "text_contamination": _ORACLE_CONTAMINATION % _ORACLE_WINNOW,
+        "text_sample_stratified": _ORACLE_STRATIFIED,
         "mm_features": _ORACLE_MM_FEATURES,
         "mm_resize": _ORACLE_MM_RESIZE,
         "mm_frames": _ORACLE_MM_FRAMES,

@@ -1157,3 +1157,42 @@ def test_triangle_counts_exact_on_known_graphs(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     got = {r["node"]: r["n_tri"] for r in triangle_counts(df).collect()}
     assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_stratified_sample_deterministic_and_exact_k(spark):
+    """Deterministic stratified sampling: exactly k rows per stratum
+    (all rows when the stratum is smaller), identical across reruns
+    AND across n_salts choices (the salted tournament must never
+    change the result — it only bounds partition sizes), and equal to
+    the naive smallest-k-by-md5 definition computed in Python."""
+    import hashlib
+
+    from tortank_spark.sampling import stratified_sample
+
+    rows = [(i, ["en", "fr", "de"][i % 3]) for i in range(90)]
+    rows += [(1000, "nl"), (1001, "nl")]  # stratum smaller than k
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+
+    def draw(n_salts):
+        return {
+            (r["doc_id"], r["lang"])
+            for r in stratified_sample(
+                df, "lang", "doc_id", k=5, n_salts=n_salts
+            ).collect()
+        }
+
+    got = draw(64)
+    assert draw(3) == got == draw(64)  # salt- and rerun-invariant
+    # python replay of the definition: k smallest md5(str(id)) per lang
+    by_lang = {}
+    for i, lang in rows:
+        by_lang.setdefault(lang, []).append(
+            (hashlib.md5(str(i).encode()).hexdigest(), i, lang)
+        )
+    want = {
+        (i, lang)
+        for vals in by_lang.values()
+        for _, i, lang in sorted(vals)[:5]
+    }
+    assert got == want
+    assert sum(1 for _, lang in got if lang == "nl") == 2
