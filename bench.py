@@ -287,6 +287,43 @@ class Leg:
             self.proc.kill()
 
 
+def _headline_basis(rounds_detail: list) -> tuple[float, str, list]:
+    """Pick the headline efficiency from labeled rounds — pure
+    function so the selection policy is unit-testable against real
+    run data (tests/test_pipeline.py).
+
+    Policy: fairshare-suspect rounds (eff > 1.05 — unphysical for
+    real 1->4-core scaling, the drained-regime CFS ceiling) are
+    EXCLUDED from every median; the artifact flags them per round, so
+    letting them into the headline would contradict the flag (the
+    round-5 degraded-host run medianed 1.03 off two suspect rounds).
+    Among non-suspect rounds, prefer the burst-only median when >= 2
+    burst rounds exist (those measure dedicated cores); otherwise
+    fall back to the non-suspect median, labeled; if EVERY round is
+    suspect, report the all-rounds median labeled as such — never
+    silently."""
+    import statistics as _st
+
+    clean = [r for r in rounds_detail if not r["fairshare_suspect"]]
+    burst_clean = [r["eff"] for r in clean if r["regime"] == "burst"]
+    clean_effs = [r["eff"] for r in clean]
+    all_effs = [r["eff"] for r in rounds_detail]
+    if len(burst_clean) >= 2:
+        return (_st.median(burst_clean), "burst_only_median",
+                burst_clean)
+    if clean_effs:
+        return (
+            _st.median(clean_effs),
+            f"nonsuspect_rounds_median ({len(burst_clean)} burst "
+            f"round{'' if len(burst_clean) == 1 else 's'}, "
+            f"{len(rounds_detail) - len(clean)} suspect excluded)",
+            clean_effs,
+        )
+    return (_st.median(all_effs),
+            "all_rounds_median (ALL rounds fairshare-suspect)",
+            all_effs)
+
+
 def measure_scaling() -> dict:
     import threading
 
@@ -407,19 +444,7 @@ def measure_scaling() -> dict:
                       if r["regime"] == "burst"]
         med_all = statistics.median(round_effs)
         med_burst = statistics.median(burst_effs) if burst_effs else None
-        # headline basis: burst-only median when at least 2 rounds ran
-        # in the burst regime; otherwise fall back to the all-rounds
-        # median, labeled so the artifact never passes a fair-share
-        # ceiling off as a code property
-        if med_burst is not None and len(burst_effs) >= 2:
-            med, basis = med_burst, "burst_only_median"
-            basis_pool = burst_effs
-        elif burst_effs:
-            med, basis = med_all, "all_rounds_median (only 1 burst round)"
-            basis_pool = round_effs
-        else:
-            med, basis = med_all, "all_rounds_median (no burst rounds)"
-            basis_pool = round_effs
+        med, basis, basis_pool = _headline_basis(rounds_detail)
         # the headline itself is flagged when most of the rounds that
         # produced it are in fair-share territory (eff > 1.05) — a
         # median of unphysical values is not a code property either
@@ -558,6 +583,36 @@ def run_witness(spark) -> tuple[float, list[float]]:
     return min(walls), walls
 
 
+# Full artifact sidecar: the grading driver keeps only the tail of
+# stdout, and round 4's 2.4 KB final line was truncated from the FRONT
+# of that window (BENCH_r04.json: "parsed": null). The printed line is
+# therefore a COMPACT summary sized well under the window, and the
+# complete artifact (per-pass sample arrays, per-round detail) goes to
+# a sidecar file next to bench.py that the harness or a reader can
+# open directly.
+SIDECAR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "BENCH_SIDECAR.json")
+
+
+def compact_summary(out: dict) -> dict:
+    """Tail-window-safe view of the full artifact: drops the per-pass
+    sample arrays and per-round dicts but keeps everything the north
+    rule grades — walls, throughput, efficiency + basis, per-round
+    efficiencies, regime labels, and the suspect count — plus a
+    pointer to the sidecar holding the rest. Pure function, size-
+    pinned by tests/test_pipeline.py."""
+    slim = {k: v for k, v in out.items() if k != "headline_samples"}
+    sc = {k: v for k, v in out["scaling"].items()
+          if k not in ("samples_small", "samples_big", "rounds_detail")}
+    detail = out["scaling"].get("rounds_detail", [])
+    sc["regimes"] = [r["regime"] for r in detail]
+    sc["n_fairshare_suspect"] = sum(
+        1 for r in detail if r["fairshare_suspect"])
+    slim["scaling"] = sc
+    slim["sidecar"] = os.path.basename(SIDECAR)
+    return slim
+
+
 def main():
     t_all = time.monotonic()
     queries, headline_samples = run_headline_queries()
@@ -580,7 +635,10 @@ def main():
         "docs_per_sec": round(scaling["docs"] / w_big, 1) if w_big else None,
         "scaling": scaling,
     }
-    print(json.dumps(out))
+    with open(SIDECAR, "w") as f:
+        json.dump(out, f, indent=1)
+        f.write("\n")
+    print(json.dumps(compact_summary(out)))
 
 
 if __name__ == "__main__":

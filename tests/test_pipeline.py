@@ -86,3 +86,107 @@ def test_pipeline_end_to_end_and_resume(spark, tmp_path):
     # manifest carries per-bucket metrics
     m = json.loads((tmp_path / "kg" / "bucket=0" / "_MANIFEST.json").read_text())
     assert {"docs", "triples", "parse_failures"} <= set(m)
+
+
+def test_bench_headline_basis_policy():
+    """bench._headline_basis replayed against REAL observed runs:
+    suspect rounds (fair-share ceiling, eff > 1.05) never enter a
+    median; burst-only median needs >= 2 non-suspect burst rounds;
+    every fallback is labeled."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from bench import _headline_basis
+
+    def rd(eff, regime):
+        return {"eff": eff, "regime": regime,
+                "fairshare_suspect": eff > 1.05}
+
+    # round-5 healthy full run: 4 burst rounds -> burst-only median
+    healthy = [rd(e, r) for e, r in [
+        (0.913, "burst"), (1.013, "burst"), (0.871, "burst"),
+        (0.671, "burst"), (0.941, "drained"), (0.949, "drained"),
+        (1.007, "drained")]]
+    med, basis, _ = _headline_basis(healthy)
+    assert basis == "burst_only_median" and round(med, 3) == 0.892
+
+    # round-5 degraded-host run: 1 burst + 2 suspect drained rounds.
+    # The suspect rounds (1.099, 1.055) must NOT enter the median.
+    degraded = [rd(e, r) for e, r in [
+        (0.821, "burst"), (1.03, "drained"), (1.099, "drained"),
+        (1.055, "drained"), (1.006, "drained")]]
+    med, basis, pool = _headline_basis(degraded)
+    assert basis.startswith("nonsuspect_rounds_median")
+    assert "2 suspect excluded" in basis
+    assert pool == [0.821, 1.03, 1.006] and round(med, 3) == 1.006
+
+    # pathological: everything suspect -> labeled, not hidden
+    allbad = [rd(1.2, "drained"), rd(1.3, "drained")]
+    med, basis, _ = _headline_basis(allbad)
+    assert "ALL rounds fairshare-suspect" in basis
+
+
+def test_bench_compact_summary_fits_tail_window():
+    """The driver keeps only the tail of bench stdout (~2 KB); round 4's
+    2.4 KB line truncated from the front and parsed null. The printed
+    line must stay comfortably under the window at realistic artifact
+    sizes, while keeping every north-rule field + the honesty labels."""
+    import json
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from bench import compact_summary
+
+    qnames = [
+        "kg_extract_turtle", "kg_connected_components", "kg_entity_link",
+        "r1_pattern_filter", "r5_union_dedup", "q1_pricing_summary",
+        "q3_top_revenue", "dedup_exact", "dedup_minhash_lsh",
+        "text_token_count", "sim_topk_cosine", "extract_witness",
+        "extract_local_small", "extract_local_big",
+    ]
+    rounds_detail = [
+        {"eff": 0.913 + i / 100, "wall_small": 14.793, "wall_big": 14.694,
+         "regime": "burst" if i < 4 else "drained",
+         "fairshare_suspect": i == 6}
+        for i in range(8)
+    ]
+    out = {
+        "metric": "e2e_bench_sec", "value": 686.195, "unit": "sec",
+        "queries": {q: 123.456 for q in qnames},
+        "headline_samples": {q: [123.456, 123.456] for q in qnames[:12]},
+        "sf": 0.1, "extract_docs": 16000, "extract_triples": 747064,
+        "triples_per_sec": 71114.3, "docs_per_sec": 1640.7,
+        "scaling": {
+            "cpus_small": 1, "cpus_big": 4, "docs_small": 1500,
+            "docs_big": 6000, "wall_small_sec": 3.365,
+            "wall_big_sec": 3.657, "docs_per_sec_small": 445.8,
+            "docs_per_sec_big": 1640.7,
+            "samples_small": [123.456] * 9, "samples_big": [123.456] * 9,
+            "round_efficiencies": [r["eff"] for r in rounds_detail],
+            "rounds_detail": rounds_detail,
+            "burst_ref_wall_sec": 3.365, "rounds": len(rounds_detail),
+            "efficiency_all_rounds": 0.941, "efficiency_burst_only": 0.892,
+            "efficiency_basis": "burst_only_median",
+            "headline_fairshare_suspect": False, "speedup": 3.568,
+            "efficiency": 0.892, "docs": 16000, "triples": 747064,
+        },
+    }
+    slim = compact_summary(out)
+    line = json.dumps(slim)
+    assert len(line) < 1800, len(line)
+    # north-rule fields survive compaction
+    assert slim["scaling"]["efficiency"] == 0.892
+    assert slim["scaling"]["efficiency_basis"] == "burst_only_median"
+    assert slim["scaling"]["round_efficiencies"]
+    # honesty labels survive as compact forms
+    assert slim["scaling"]["regimes"] == ["burst"] * 4 + ["drained"] * 4
+    assert slim["scaling"]["n_fairshare_suspect"] == 1
+    assert slim["sidecar"] == "BENCH_SIDECAR.json"
+    # the bulky arrays are gone from the printed line
+    assert "headline_samples" not in slim
+    assert "samples_small" not in slim["scaling"]
+    assert "rounds_detail" not in slim["scaling"]
+    # the full artifact keeps them (sidecar is json.dump of `out`)
+    assert out["headline_samples"] and out["scaling"]["rounds_detail"]
