@@ -524,6 +524,61 @@ WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
 _ORACLE_MINHASH_VERIFIED = _minhash_truth_sql(0.8)
 
 
+def _q_ngram_jaccard(spark, sf_dir):
+    """Rare-n-gram blocked exact-Jaccard dedup — the deterministic,
+    hash-free member of the dedup family (no seeds, no banding
+    probability): candidates are pairs sharing a 3-gram with document
+    frequency in [2, 20], verified with exact shingle Jaccard >= 0.5.
+    FULL ladder oracle: DuckDB replays blocking (df count + cap) and
+    verify value-for-value — and test_operators pins blocked output ==
+    exact all-pairs truth on this corpus (blocking recall 1.0 here:
+    every true pair shares at least one sub-boilerplate shingle)."""
+    from tortank_spark.dedup import ngram_jaccard_dedup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_dedup_pairs(
+        docs, "doc_id", n=3, max_df=20, threshold=0.5
+    )
+
+
+# Replays the FULL ladder: same shingle definition as
+# _minhash_truth_sql, then df-capped rare-gram blocking, then exact
+# Jaccard on the blocked candidates only.
+_ORACLE_NGRAM_JACCARD = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                     t -> t <> '') AS tk
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(tk) < 3
+              THEN list_distinct([array_to_string(tk, ' ')])
+              ELSE list_distinct(list_transform(
+                     range(1, len(tk) - 1),
+                     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+         END AS sh
+  FROM toks
+),
+posts AS (SELECT doc_id, unnest(sh) AS gram FROM sh),
+rare AS (SELECT gram FROM posts GROUP BY gram
+         HAVING count(*) BETWEEN 2 AND 20),
+rp AS (SELECT p.doc_id, p.gram FROM posts p JOIN rare USING (gram)),
+cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         FROM rp x JOIN rp y
+           ON x.gram = y.gram AND x.doc_id < y.doc_id)
+SELECT c.a, c.b,
+       round(len(list_intersect(sa.sh, sb.sh))::DOUBLE
+             / len(list_distinct(list_concat(sa.sh, sb.sh))), 4) AS jaccard
+FROM cand c
+JOIN sh sa ON sa.doc_id = c.a
+JOIN sh sb ON sb.doc_id = c.b
+WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE
+      / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5
+"""
+
+
 def _q_simhash(spark, sf_dir):
     """SimHash signatures over the documents table. FULL value oracle:
     the md5-low-64 token hash (dedup._md5_64) is reproducible in
@@ -1605,6 +1660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r10_add_prefixes": _q_add_prefixes,
         "stream_ingest": _q_stream_ingest,
         "dedup_minhash_verified": _q_minhash_verified,
+        "dedup_ngram_jaccard": _q_ngram_jaccard,
         "dedup_embedding": _q_embedding_neardup,
         "dedup_embedding_lsh": _q_embedding_neardup_lsh,
         "sim_lsh_recall": _q_lsh_recall,
@@ -1665,6 +1721,7 @@ def oracle_sql() -> dict[str, str]:
         "r10_add_prefixes": _ORACLE_EXTRACT,
         "stream_ingest": _ORACLE_EXTRACT,
         "dedup_minhash_verified": _ORACLE_MINHASH_VERIFIED,
+        "dedup_ngram_jaccard": _ORACLE_NGRAM_JACCARD,
         "dedup_minhash_lsh": _minhash_truth_sql(0.5),
         "dedup_simhash": _ORACLE_SIMHASH,
         "dedup_embedding": _ORACLE_EMB_NEARDUP,

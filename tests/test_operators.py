@@ -1196,3 +1196,67 @@ def test_stratified_sample_deterministic_and_exact_k(spark):
     }
     assert got == want
     assert sum(1 for _, lang in got if lang == "nl") == 2
+
+
+def test_rare_ngram_blocking_respects_df_cap(spark):
+    """A shingle more common than max_df must not generate candidates
+    (boilerplate suppression — the scale guarantee), while a rare
+    shared shingle must."""
+    from tortank_spark.dedup import rare_ngram_candidate_pairs
+
+    boiler = "click here to read more"
+    rows = [(i, f"{boiler} unique{i}a unique{i}b unique{i}c")
+            for i in range(6)]
+    # docs 100/101 share a rare 3-gram on top of the boilerplate
+    rows += [(100, f"{boiler} shared alpha beta extra{0}"),
+             (101, f"{boiler} shared alpha beta extra{1}")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["a"], r["b"]) for r in rare_ngram_candidate_pairs(
+        docs, "doc_id", max_df=3).collect()}
+    # every pair here shares the boilerplate shingles (df=8 > 3); only
+    # the rare "shared alpha beta" (df=2) survives the cap
+    assert got == {(100, 101)}
+
+
+def test_ngram_jaccard_ladder_matches_allpairs_truth(spark):
+    """The blocked ladder's output equals the EXACT all-pairs Jaccard
+    truth at the threshold on the test corpus — certifies blocking
+    recall 1.0 here (every true pair shares at least one shingle with
+    df <= cap), the deterministic analogue of the minhash recall
+    certification."""
+    from tortank_spark.dedup import (
+        ngram_jaccard_dedup_pairs, ngram_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    got = {(r["a"], r["b"], r["jaccard"]) for r in ngram_jaccard_dedup_pairs(
+        docs, "doc_id", max_df=20, threshold=0.5).collect()}
+
+    ids = docs.select("doc_id")
+    allpairs = (
+        ids.withColumnRenamed("doc_id", "a")
+        .crossJoin(ids.withColumnRenamed("doc_id", "b"))
+        .filter(F.col("a") < F.col("b"))
+    )
+    truth = {
+        (r["a"], r["b"], round(r["jaccard"], 4))
+        for r in ngram_jaccard_pairs(docs, allpairs, "doc_id").collect()
+        if r["jaccard"] >= 0.5
+    }
+    assert got == truth and len(got) > 0
+
+
+def test_ngram_jaccard_lazy_returns_cache_handle(spark):
+    from tortank_spark.dedup import CacheHandle, ngram_jaccard_dedup_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d f")], "doc_id long, text string"
+    )
+    out, handle = ngram_jaccard_dedup_pairs(docs, "doc_id", eager=False)
+    assert isinstance(handle, CacheHandle)
+    try:
+        assert out.count() == 1
+    finally:
+        handle.release()

@@ -68,7 +68,8 @@ def test_top_revenue_broadcasts_dim_side(spark):
     assert "BroadcastHashJoin" in plan
 
 
-@pytest.mark.parametrize("maker", ["minhash", "simhash", "embedding"])
+@pytest.mark.parametrize("maker",
+                         ["minhash", "simhash", "embedding", "rare_ngram"])
 def test_candidate_generators_never_cross_join(spark, maker):
     """Every near-dup candidate generator must be a bucketed equi-join;
     a CartesianProduct or BroadcastNestedLoopJoin in the plan means the
@@ -85,6 +86,8 @@ def test_candidate_generators_never_cross_join(spark, maker):
     elif maker == "simhash":
         sigs = dedup.simhash_signatures(docs, "doc_id")
         cand = dedup.simhash_candidate_pairs(sigs, "doc_id")
+    elif maker == "rare_ngram":
+        cand = dedup.rare_ngram_candidate_pairs(docs, "doc_id")
     else:
         emb = spark.createDataFrame(
             [(i, [float(i), 1.0, 0.5, float(i % 3)]) for i in range(8)],

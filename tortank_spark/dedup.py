@@ -550,6 +550,28 @@ def embedding_neardup_lsh(
         banded.unpersist()
 
 
+def _shingles_expr(text_col: str, n: int):
+    """Distinct word n-gram (shingle) array as a pure column
+    expression — whitespace-tokenize, lowercase, slide an n-window;
+    a doc shorter than n tokens contributes its whole text as one
+    shingle. Shared by the Jaccard verify stage and the rare-n-gram
+    blocker so both see byte-identical shingle sets (and the DuckDB
+    oracles replay the same definition)."""
+    toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                    lambda t: t != "")
+    sh = F.when(
+        F.size(toks) < n, F.array(F.concat_ws(" ", toks))
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(
+                " ", F.slice(toks, i + 1, n)
+            ),
+        )
+    )
+    return F.array_distinct(sh)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame, pairs: DataFrame, id_col: str, text_col: str = "text",
     n: int = 3,
@@ -570,20 +592,9 @@ def ngram_jaccard_pairs(
         .union(pairs.select(F.col("b").alias(id_col)))
         .distinct()
     )
-    toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
-                    lambda t: t != "")
-    sh = F.when(
-        F.size(toks) < n, F.array(F.concat_ws(" ", toks))
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(
-                " ", F.slice(toks, i + 1, n)
-            ),
-        )
-    )
+    sh = _shingles_expr(text_col, n)
     with_sh = df.join(cand_ids, id_col, "semi").select(
-        F.col(id_col), F.array_distinct(sh).alias("_sh")
+        F.col(id_col), sh.alias("_sh")
     )
     a = with_sh.select(F.col(id_col).alias("a"), F.col("_sh").alias("_sha"))
     b = with_sh.select(F.col(id_col).alias("b"), F.col("_sh").alias("_shb"))
@@ -594,3 +605,72 @@ def ngram_jaccard_pairs(
         "a", "b",
         (inter / F.greatest(union, F.lit(1))).alias("jaccard"),
     )
+
+
+def rare_ngram_candidate_pairs(
+    df: DataFrame, id_col: str, text_col: str = "text",
+    n: int = 3, max_df: int = 20,
+) -> DataFrame:
+    """Candidate near-dup pairs via RARE-n-gram inverted-index
+    blocking: two docs are candidates iff they share at least one
+    word n-gram whose document frequency is in ``[2, max_df]``.
+
+    The deterministic, hash-free member of the dedup family (vs
+    MinHash banding / SimHash keys / embedding planes): no seeds, no
+    probability of missing a pair at random — a true pair is missed
+    only if EVERY shingle it shares is more common than ``max_df``,
+    i.e. the overlap consists entirely of boilerplate. That makes the
+    whole ladder replayable in plain SQL (the driver oracle replays
+    blocking AND verify value-for-value).
+
+    Scale shape (the same geometry argument as winnow pairs,
+    textops.winnow_neardup_pairs): one shuffle to count per-gram df,
+    a semi-join to keep postings of rare grams only, then a bounded
+    equi-join — the df cap hard-bounds any gram's pair fanout to
+    C(max_df, 2), so no boilerplate shingle ("click here to read
+    more") can create a quadratic join bucket at web scale. df > 1
+    is dropped too (a gram seen once can't witness a pair).
+    """
+    posts = df.select(
+        F.col(id_col), F.explode(_shingles_expr(text_col, n)).alias("gram")
+    )
+    rare = posts.groupBy("gram").agg(F.count("*").alias("_df")).filter(
+        (F.col("_df") >= 2) & (F.col("_df") <= max_df)
+    ).select("gram")
+    rp = posts.join(rare, "gram", "semi")
+    x = rp.select(F.col("gram"), F.col(id_col).alias("a"))
+    y = rp.select(F.col("gram"), F.col(id_col).alias("b"))
+    return (
+        x.join(y, "gram")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_dedup_pairs(
+    df: DataFrame, id_col: str, text_col: str = "text",
+    n: int = 3, max_df: int = 20, threshold: float = 0.5,
+    eager: bool = True,
+):
+    """Full n-gram-Jaccard dedup ladder: rare-n-gram blocking →
+    exact shingle-Jaccard verify on candidates only → threshold.
+    Deterministic end to end; the driver oracle replays every stage.
+
+    With ``eager`` the small verified output is materialized and the
+    candidate cache released before returning; ``eager=False``
+    returns ``(df, CacheHandle)`` (see minhash_dedup_pairs)."""
+    cand = rare_ngram_candidate_pairs(
+        df, id_col, text_col=text_col, n=n, max_df=max_df
+    ).persist()
+    out = ngram_jaccard_pairs(
+        df, cand, id_col, text_col=text_col, n=n
+    ).filter(F.col("jaccard") >= threshold).select(
+        "a", "b", F.round("jaccard", 4).alias("jaccard")
+    )
+    if not eager:
+        return out, CacheHandle([cand])
+    try:
+        return out.localCheckpoint(eager=True)
+    finally:
+        cand.unpersist()
