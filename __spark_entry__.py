@@ -125,6 +125,37 @@ def _q_parse_pattern(spark, sf_dir):
     )
 
 
+def _q_bgp_join(spark, sf_dir):
+    """R11 (Spark-first extension): conjunctive basic-graph-pattern
+    join — the multi-pattern composition of R1/R2 that the reference's
+    single-pattern list_statements (turtle_doc.rs:405-423) stops short
+    of. Two patterns share ?u: every (click, purchase) event pair per
+    user, bag semantics."""
+    from tortank_spark.algebra import bgp_join
+
+    t = _events_triples(spark, sf_dir)
+    return bgp_join(
+        t,
+        [
+            ("?u", "<urn:event:click>", "?click"),
+            ("?u", "<urn:event:purchase>", "?purchase"),
+        ],
+    )
+
+
+_BGP_JOIN_SQL = """
+WITH t AS (
+    SELECT 'urn:user:' || user_id AS s,
+           'urn:event:' || event_type AS p,
+           'urn:ev:' || event_id AS o
+    FROM events
+)
+SELECT a.s AS u, a.o AS click, b.o AS purchase
+FROM t a JOIN t b ON a.s = b.s
+WHERE a.p = 'urn:event:click' AND b.p = 'urn:event:purchase'
+"""
+
+
 def _did_triples(spark, sf_dir, types):
     """Distinct (user, urn:did, <event_type literal>) triple bag on the
     FULL 7-column schema: o is a plain literal with NULL datatype/lang,
@@ -1669,6 +1700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_link": _q_entity_link,
         "r1_pattern_filter": _q_pattern_filter,
         "r2_parse_pattern": _q_parse_pattern,
+        "r11_bgp_join": _q_bgp_join,
         "r3_difference": _q_difference,
         "r4_intersection": _q_intersection,
         "r5_union_dedup": _q_union_dedup,
@@ -1757,6 +1789,7 @@ def oracle_sql() -> dict[str, str]:
         "r2_parse_pattern": _EVENTS_TRIPLES_SQL.replace(
             "FROM events", "FROM events WHERE event_type = 'purchase'"
         ),
+        "r11_bgp_join": _BGP_JOIN_SQL,
         "r3_difference": """
             SELECT DISTINCT 'urn:user:' || user_id AS s, 'urn:did' AS p,
                    event_type AS o

@@ -1260,3 +1260,81 @@ def test_ngram_jaccard_lazy_returns_cache_handle(spark):
         assert out.count() == 1
     finally:
         handle.release()
+
+
+def test_bgp_join(spark):
+    """Conjunctive BGP join — multi-pattern extension of the
+    reference's single-pattern list_statements (turtle_doc.rs:405-423):
+    chains, shared-subject stars, term-key semantics, intra-pattern
+    repeated variables, and the disconnected-group guard."""
+    import pytest as _pt
+
+    from tortank_spark.algebra import bgp_join
+
+    E = "http://e/"
+    XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
+    rows = [
+        (E + "alice", "iri", E + "knows", E + "bob", "iri", None, None),
+        (E + "bob", "iri", E + "knows", E + "carol", "iri", None, None),
+        (E + "alice", "iri", E + "age", "42", "literal", XSD_INT, None),
+        (E + "bob", "iri", E + "age", "42", "literal", None, None),
+        (E + "loop", "iri", E + "knows", E + "loop", "iri", None, None),
+    ]
+    df = make_triples(spark, rows)
+    prefixes = {"e": E}
+
+    # 2-pattern chain on a shared object->subject variable
+    chain = bgp_join(
+        df, [("?a", "e:knows", "?b"), ("?b", "e:knows", "?c")],
+        prefixes=prefixes,
+    )
+    assert chain.columns == ["a", "b", "c"]
+    got = {tuple(r) for r in chain.collect()}
+    assert got == {
+        (E + "alice", E + "bob", E + "carol"),
+        (E + "loop", E + "loop", E + "loop"),
+    }
+    # equi-join plan, never a cartesian product
+    plan = chain._sc._jvm.PythonSQLUtils.explainString(
+        chain._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    # shared-subject star
+    star = bgp_join(
+        df, [("?p", "e:knows", "?f"), ("?p", "e:age", "?age")],
+        prefixes=prefixes,
+    )
+    got = {tuple(r) for r in star.collect()}
+    assert got == {
+        (E + "alice", E + "bob", "42"),
+        (E + "bob", E + "carol", "42"),
+    }
+
+    # variables bind TERMS: "42"^^xsd:integer never joins plain "42"
+    terms = bgp_join(
+        df, [("?x", "e:age", "?v"), ("?y", "e:age", "?v")],
+        prefixes=prefixes,
+    )
+    got = {tuple(r) for r in terms.collect()}
+    assert got == {
+        (E + "alice", "42", E + "alice"),
+        (E + "bob", "42", E + "bob"),
+    }
+
+    # repeated variable WITHIN a pattern: self-loops only
+    loops = bgp_join(df, [("?x", "e:knows", "?x")], prefixes=prefixes)
+    assert [r["x"] for r in loops.collect()] == [E + "loop"]
+
+    # disconnected variable graph is refused (no silent cross join)
+    with _pt.raises(ValueError, match="disconnected"):
+        bgp_join(
+            df, [("?a", "e:knows", "?b"), ("?c", "e:age", "?d")],
+            prefixes=prefixes,
+        )
+    # fully bound patterns belong to pattern_filter, not bgp_join
+    with _pt.raises(ValueError, match="fully bound"):
+        bgp_join(df, [("e:alice", "e:knows", "e:bob")], prefixes=prefixes)
+    with _pt.raises(ValueError, match="empty"):
+        bgp_join(df, [])
