@@ -510,6 +510,9 @@ def run_headline_queries() -> tuple[dict, dict]:
         "dedup_minhash_lsh",
         "text_token_count",
         "sim_topk_cosine",
+        "text_winnow",
+        "dedup_winnow",
+        "mm_features",
     ]
     qs = entrymod.queries()
     queries = {}

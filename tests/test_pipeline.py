@@ -143,7 +143,8 @@ def test_bench_compact_summary_fits_tail_window():
         "kg_extract_turtle", "kg_connected_components", "kg_entity_link",
         "r1_pattern_filter", "r5_union_dedup", "q1_pricing_summary",
         "q3_top_revenue", "dedup_exact", "dedup_minhash_lsh",
-        "text_token_count", "sim_topk_cosine", "extract_witness",
+        "text_token_count", "sim_topk_cosine", "text_winnow",
+        "dedup_winnow", "mm_features", "extract_witness",
         "extract_local_small", "extract_local_big",
     ]
     rounds_detail = [
