@@ -1083,6 +1083,44 @@ SELECT doc_id, lang FROM (
 """
 
 
+def _q_transitive_closure(spark, sf_dir):
+    """Materialized property-path closure (``rdfs:subClassOf+`` /
+    ``skos:broaderTransitive`` entailment) over a deterministic
+    taxonomy tree derived from part keys (child p_partkey -> parent
+    p_partkey DIV 2 — a binary tree ~11 levels deep at sf0.01, so the
+    semi-naive loop genuinely iterates). tortank answers reachability
+    only pair-at-a-time via repeated list_statements; materializing
+    the closure once (graph.transitive_closure, Datalog semi-naive:
+    per-round work is frontier-sized, one Spark job per round) turns
+    every downstream ancestor query into a single equi-join. FULL
+    value oracle: DuckDB replays the closure with a recursive CTE."""
+    from tortank_spark.graph import transitive_closure
+
+    edges = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") >= 2)
+        .select(
+            F.col("p_partkey").alias("src"),
+            F.expr("p_partkey DIV 2").alias("dst"),
+        )
+    )
+    return transitive_closure(edges)
+
+
+_ORACLE_TRANSITIVE_CLOSURE = """
+WITH RECURSIVE e AS (
+  SELECT p_partkey AS src, p_partkey // 2 AS dst
+  FROM part WHERE p_partkey >= 2
+),
+tc AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT tc.src, e.dst FROM tc JOIN e ON tc.dst = e.src
+)
+SELECT src, dst FROM tc
+"""
+
+
 def _q_triangles(spark, sf_dir):
     """Per-node triangle counts over the lineitem co-purchase graph
     (parts sharing an order are adjacent) — the clustering-coefficient
@@ -1697,6 +1735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_lsh_recall": _q_lsh_recall,
         "kg_connected_components": _q_connected_components,
         "kg_triangles": _q_triangles,
+        "kg_transitive_closure": _q_transitive_closure,
         "kg_entity_link": _q_entity_link,
         "r1_pattern_filter": _q_pattern_filter,
         "r2_parse_pattern": _q_parse_pattern,
@@ -1770,6 +1809,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "kg_connected_components": _ORACLE_CC,
         "kg_triangles": _ORACLE_TRIANGLES,
+        "kg_transitive_closure": _ORACLE_TRANSITIVE_CLOSURE,
         "kg_entity_link": f"""
             WITH alias_dict(alias, entity_iri, prior) AS (VALUES {_ALIAS_VALUES}),
             toks AS (

@@ -1338,3 +1338,65 @@ def test_bgp_join(spark):
         bgp_join(df, [("e:alice", "e:knows", "e:bob")], prefixes=prefixes)
     with _pt.raises(ValueError, match="empty"):
         bgp_join(df, [])
+
+
+def test_transitive_closure_known_graphs(spark):
+    """p+ closure on hand-checkable shapes: a 4-chain yields all 6
+    forward pairs; a diamond (a->b, a->c, b->d, c->d) adds (a,d)
+    exactly once; a 3-cycle reaches everything INCLUDING self-pairs
+    (SPARQL property-path semantics: x p+ x holds via the cycle);
+    duplicate edges change nothing. Semi-naive and recursive-doubling
+    must agree on every case."""
+    from tortank_spark.graph import transitive_closure
+
+    chain = [(1, 2), (2, 3), (3, 4), (1, 2)]
+    diamond = [(10, 11), (10, 12), (11, 13), (12, 13)]
+    cycle = [(20, 21), (21, 22), (22, 20)]
+    df = spark.createDataFrame(
+        chain + diamond + cycle, "src long, dst long"
+    )
+    want = {
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+        (10, 11), (10, 12), (10, 13), (11, 13), (12, 13),
+    } | {(a, b) for a in (20, 21, 22) for b in (20, 21, 22)}
+    got = {(r["src"], r["dst"]) for r in transitive_closure(df).collect()}
+    assert got == want
+    got2 = {
+        (r["src"], r["dst"])
+        for r in transitive_closure(df, doubling=True).collect()
+    }
+    assert got2 == want
+
+
+def test_transitive_closure_random_dag_vs_python(spark):
+    """Randomized check: closure of a seeded random DAG (edges only
+    low->high so it is acyclic) equals a pure-Python Warshall
+    fixpoint, for both algorithms."""
+    import random
+
+    from tortank_spark.graph import transitive_closure
+
+    rng = random.Random(7)
+    n = 40
+    edges = sorted({
+        tuple(sorted(rng.sample(range(n), 2))) for _ in range(120)
+    })
+    reach = {u: {v for (a, v) in edges if a == u} for u in range(n)}
+    changed = True
+    while changed:
+        changed = False
+        for u in range(n):
+            add = set()
+            for v in reach[u]:
+                add |= reach.get(v, set())
+            if not add <= reach[u]:
+                reach[u] |= add
+                changed = True
+    want = {(u, v) for u in range(n) for v in reach[u]}
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for kw in ({}, {"doubling": True}):
+        got = {
+            (r["src"], r["dst"])
+            for r in transitive_closure(df, **kw).collect()
+        }
+        assert got == want

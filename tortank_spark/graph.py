@@ -1,7 +1,9 @@
 """Graph-analytic operators over edge tables derived from the triple
-store (degree, triangles) — the structural-quality building blocks a
-KG pipeline runs after canonicalization (triangle counts feed
-clustering coefficients, spam/link-farm heuristics, and motif stats).
+store (degree, triangles, transitive closure) — the structural
+building blocks a KG pipeline runs after canonicalization (triangle
+counts feed clustering coefficients and link-farm heuristics;
+transitive closure materializes property paths / RDFS entailment
+like ``rdfs:subClassOf+`` so type queries become single lookups).
 
 Scale design: triangle enumeration uses the degree-ordered orientation
 (Schank/Wagner "node-iterator-core"; the MapReduce formulation is
@@ -18,6 +20,106 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 import pyspark.sql.functions as F
+
+
+def _edge_sig(df: DataFrame):
+    """Order-independent set signature (count, xor of row hashes) of an
+    (src, dst) edge set in ONE aggregate job — same convergence idiom
+    as canonicalize.connected_components (canonicalize.py:130)."""
+    row = df.agg(
+        F.count("*").alias("n"),
+        F.expr("bit_xor(xxhash64(src, dst))").alias("x"),
+    ).collect()[0]
+    return row["n"], row["x"]
+
+
+def transitive_closure(
+    edges: DataFrame, src: str = "src", dst: str = "dst",
+    max_rounds: int = 64, doubling: bool = False,
+) -> DataFrame:
+    """All pairs (src, dst) connected by a directed path of >= 1 edges
+    — the materialized form of a SPARQL property path ``p+`` and the
+    workhorse of RDFS entailment (``rdfs:subClassOf+`` /
+    ``skos:broaderTransitive``): tortank answers such reachability
+    questions only pair-at-a-time via repeated ``list_statements``
+    calls (/root/reference/src/lib.rs model, SURVEY §2.3 R1); a
+    batch engine materializes the closure once so every downstream
+    type/ancestor query is a single equi-join.
+
+    Two published strategies, both one Spark job per round (lazy
+    ``localCheckpoint`` truncates the iterative lineage, the signature
+    aggregate is the action — the connected_components idiom):
+
+    * semi-naive (default; Datalog seminaive evaluation): the join
+      input each round is only the DELTA (paths discovered last
+      round), extended by one base edge, anti-joined against the
+      accumulated closure so no path is re-derived twice. Rounds =
+      longest-path depth d; per-round work proportional to the
+      frontier, never the whole closure. The right choice for KG
+      taxonomies (depth ~10-30 even for web-scale ontologies).
+    * ``doubling=True`` (recursive doubling): closure' = closure U
+      (closure JOIN closure), converging in ceil(log2 d) rounds — for
+      pathological deep chains (linked-list-shaped provenance graphs)
+      where d rounds of barrier sync dominate. Costs more per round
+      (the join re-derives each pair once per midpoint), so it is NOT
+      the default.
+
+    Scale notes: every join is an equi-join on vertex ids (AQE
+    skew-splittable); the base edge set is persisted once and released
+    in ``finally``; DAG depth bound guards runaway cyclic inputs
+    (cycles are legal — closure of a cycle is the complete reachability
+    relation — but max_rounds caps the iteration).
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+        .persist()
+    )
+    try:
+        closure = e.localCheckpoint(eager=False)
+        if doubling:
+            sig = _edge_sig(closure)
+            for _ in range(max_rounds):
+                mid = closure.select(
+                    F.col("src"), F.col("dst").alias("mid")
+                ).join(
+                    closure.select(
+                        F.col("src").alias("mid"), F.col("dst")
+                    ),
+                    "mid",
+                ).select("src", "dst")
+                # keep self-pairs: x p+ x HOLDS when a cycle passes
+                # through x (SPARQL property-path semantics) — the
+                # semi-naive branch derives them too
+                nxt = (
+                    closure.unionByName(mid)
+                    .distinct()
+                    .localCheckpoint(eager=False)
+                )
+                nxt_sig = _edge_sig(nxt)
+                closure = nxt
+                if nxt_sig == sig:
+                    break
+                sig = nxt_sig
+            return closure
+        base = e.select(F.col("src").alias("mid"), F.col("dst"))
+        delta = closure
+        for _ in range(max_rounds):
+            ext = delta.select(
+                F.col("src"), F.col("dst").alias("mid")
+            ).join(base, "mid").select("src", "dst").distinct()
+            delta = ext.join(
+                closure, ["src", "dst"], "left_anti"
+            ).localCheckpoint(eager=False)
+            if delta.agg(F.count("*")).collect()[0][0] == 0:
+                break
+            closure = closure.unionByName(delta).localCheckpoint(
+                eager=False
+            )
+        return closure
+    finally:
+        e.unpersist()
 
 
 def canonical_edges(edges: DataFrame, src: str = "src",
