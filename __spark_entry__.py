@@ -1121,6 +1121,70 @@ SELECT src, dst FROM tc
 """
 
 
+def _q_pagerank(spark, sf_dir):
+    """Entity importance over the directed supply KG: customer ->
+    part edges (from co-occurrence in an order) and part -> supplier
+    edges, node ids prefixed into disjoint IRI-like spaces. 10
+    fixed rounds of integer-exact PageRank (graph.pagerank: scaled
+    BIGINT arithmetic, so the result is bit-reproducible and the
+    oracle below replays every round — float PageRank could never be
+    value-hashed). FULL value oracle: 10 unrolled CTE stages."""
+    from tortank_spark.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cp = orders.join(
+        li, orders["o_orderkey"] == li["l_orderkey"]
+    ).select(
+        F.concat(F.lit("c:"), F.col("o_custkey")).alias("src"),
+        F.concat(F.lit("p:"), F.col("l_partkey")).alias("dst"),
+    )
+    ps = li.select(
+        F.concat(F.lit("p:"), F.col("l_partkey")).alias("src"),
+        F.concat(F.lit("s:"), F.col("l_suppkey")).alias("dst"),
+    )
+    return pagerank(cp.unionByName(ps))
+
+
+def _pagerank_oracle_sql(iterations: int = 10) -> str:
+    """Unrolled fixed-iteration integer PageRank as one DuckDB query
+    (recursive CTEs disallow aggregation over the recursive relation,
+    so each round is its own CTE — the round count is fixed, the
+    unrolling is mechanical)."""
+    rounds = []
+    for i in range(1, iterations + 1):
+        rounds.append(f"""
+pr{i} AS (
+  SELECT n.node,
+         CAST(150000000 + (85 * COALESCE(s.s, 0)) // 100 AS BIGINT) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT ed.dst, SUM(p.rank // ed.odeg) AS s
+    FROM ed JOIN pr{i - 1} p ON ed.src = p.node GROUP BY ed.dst
+  ) s ON n.node = s.dst
+)""")
+    return f"""
+WITH e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT 'c:' || o_custkey AS src, 'p:' || l_partkey AS dst
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    UNION ALL
+    SELECT 'p:' || l_partkey, 's:' || l_suppkey FROM lineitem
+  )
+),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+deg AS (SELECT src, count(*) AS odeg FROM e GROUP BY src),
+ed AS (SELECT e.src, e.dst, d.odeg FROM e JOIN deg d ON e.src = d.src),
+pr0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS rank FROM nodes),
+{','.join(rounds)}
+SELECT node, rank FROM pr{iterations}
+"""
+
+
+_ORACLE_PAGERANK = _pagerank_oracle_sql(10)
+
+
 def _q_triangles(spark, sf_dir):
     """Per-node triangle counts over the lineitem co-purchase graph
     (parts sharing an order are adjacent) — the clustering-coefficient
@@ -1735,6 +1799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_lsh_recall": _q_lsh_recall,
         "kg_connected_components": _q_connected_components,
         "kg_triangles": _q_triangles,
+        "kg_pagerank": _q_pagerank,
         "kg_transitive_closure": _q_transitive_closure,
         "kg_entity_link": _q_entity_link,
         "r1_pattern_filter": _q_pattern_filter,
@@ -1809,6 +1874,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "kg_connected_components": _ORACLE_CC,
         "kg_triangles": _ORACLE_TRIANGLES,
+        "kg_pagerank": _ORACLE_PAGERANK,
         "kg_transitive_closure": _ORACLE_TRANSITIVE_CLOSURE,
         "kg_entity_link": f"""
             WITH alias_dict(alias, entity_iri, prior) AS (VALUES {_ALIAS_VALUES}),

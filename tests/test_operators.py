@@ -1400,3 +1400,41 @@ def test_transitive_closure_random_dag_vs_python(spark):
             for r in transitive_closure(df, **kw).collect()
         }
         assert got == want
+
+
+def test_pagerank_integer_exact_replay(spark):
+    """Integer PageRank equals a pure-Python replay of the same
+    scaled-BIGINT recurrence, exactly (that exactness is the design:
+    it is what makes the DuckDB oracle hashable); and it tracks the
+    float recurrence to ~1e-6 relative, so the integer scaling is not
+    distorting the semantics."""
+    from tortank_spark.graph import pagerank
+
+    edges = [
+        ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+        ("d", "c"), ("d", "a"), ("b", "a"),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["rank"] for r in pagerank(df, iterations=10).collect()}
+
+    scale = 10 ** 9
+    nodes = sorted({x for e in edges for x in e})
+    odeg = {}
+    for s, _ in edges:
+        odeg[s] = odeg.get(s, 0) + 1
+    rank = {n: scale for n in nodes}
+    frank = {n: 1.0 for n in nodes}
+    for _ in range(10):
+        inc = {n: 0 for n in nodes}
+        finc = {n: 0.0 for n in nodes}
+        for s, d in edges:
+            inc[d] += rank[s] // odeg[s]
+            finc[d] += frank[s] / odeg[s]
+        rank = {n: 15 * scale // 100 + 85 * inc[n] // 100 for n in nodes}
+        frank = {n: 0.15 + 0.85 * finc[n] for n in nodes}
+    assert got == rank
+    for n in nodes:
+        assert abs(got[n] / scale - frank[n]) < 1e-6
+    # rerun-stable (float PageRank would not be, at the last bits)
+    again = {r["node"]: r["rank"] for r in pagerank(df, iterations=10).collect()}
+    assert again == got

@@ -33,6 +33,82 @@ def _edge_sig(df: DataFrame):
     return row["n"], row["x"]
 
 
+def pagerank(
+    edges: DataFrame, src: str = "src", dst: str = "dst",
+    iterations: int = 10, scale: int = 10 ** 9,
+    damping_num: int = 85, damping_den: int = 100,
+) -> DataFrame:
+    """Fixed-iteration PageRank -> (node, rank) with ALL arithmetic in
+    scaled BIGINT integers — entity importance over the canonicalized
+    KG link graph (which IRIs matter; feeds link-scoring priors and
+    crawl/sampling weights). Un-normalized per-node teleport form of
+    Page et al. 1999: rank' = 0.15*scale + 0.85 * sum(rank_in/odeg),
+    with / and * as integer DIV on rank values pre-scaled by ``scale``.
+
+    Integer arithmetic is the point, not a shortcut: float PageRank
+    sums incoming contributions in partition order, so the low bits
+    differ run-to-run (non-associative fp addition) and no value-hash
+    oracle can pin it. Scaled-integer ranks make every iteration
+    exactly associative and engine-independent — DuckDB replays all
+    ``iterations`` rounds bit-for-bit (truncation drops <= odeg-1
+    scale-units of mass per edge per round, ~1e-9 relative at the
+    default scale; dangling-node mass is dropped, the standard
+    simplification).
+
+    Scale shape: one equi-join (contrib) + one aggregate (fan-in sum)
+    + one left join (teleport floor for in-degree-0 nodes) per round,
+    all AQE-skew-splittable; the degree-annotated edge list is
+    persisted once and released in ``finally``; lineage is truncated
+    per round by a lazy localCheckpoint so the 10-round plan stays
+    linear (the connected_components idiom — one chained job, no
+    per-round driver sync at all since the round count is fixed)."""
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+    )
+    deg = e.groupBy("src").agg(F.count("*").alias("odeg"))
+    ed = e.join(deg, "src").persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    try:
+        base = (damping_den - damping_num) * scale // damping_den
+        rank = nodes.select(
+            "node", F.lit(scale).cast("long").alias("rank")
+        ).localCheckpoint(eager=False)
+        for _ in range(iterations):
+            contrib = ed.join(
+                rank, ed["src"] == rank["node"]
+            ).select(
+                F.col("dst"),
+                F.expr("rank DIV odeg").alias("c"),
+            )
+            sums = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+            rank = nodes.join(
+                sums, nodes["node"] == sums["dst"], "left"
+            ).select(
+                "node",
+                (
+                    F.lit(base).cast("long")
+                    + F.expr(
+                        f"({damping_num} * coalesce(s, 0L))"
+                        f" DIV {damping_den}"
+                    )
+                ).cast("long").alias("rank"),
+            ).localCheckpoint(eager=False)
+        # materialize HERE (one chained job over all rounds) so the
+        # finally-release doesn't strip the caches before they are
+        # ever hit — the eager path of the triangle_counts convention
+        return rank.localCheckpoint(eager=True)
+    finally:
+        ed.unpersist()
+        nodes.unpersist()
+
+
 def transitive_closure(
     edges: DataFrame, src: str = "src", dst: str = "dst",
     max_rounds: int = 64, doubling: bool = False,
