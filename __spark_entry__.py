@@ -522,6 +522,77 @@ def _q_minhash_verified(spark, sf_dir):
         sigs.unpersist()
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    """The dedup DECISION stage: verified near-dup pairs (the
+    dedup_minhash_verified ladder at J>=0.8) -> connected-component
+    clusters -> one kept representative (min doc_id) per cluster,
+    with cluster sizes and keep flags for every document
+    (dedup.dedup_clusters — composition of the LSH ladder and
+    star-contraction CC). FULL value oracle: exact all-pairs Jaccard
+    truth, recursive-CTE components, same min-id rule."""
+    from tortank_spark.dedup import (
+        dedup_clusters, lsh_candidate_pairs, minhash_signatures,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "doc_id").persist()
+    cand = lsh_candidate_pairs(sigs, "doc_id").persist()
+    try:
+        pairs = ngram_jaccard_pairs(docs, cand, "doc_id").filter(
+            F.col("jaccard") >= 0.8
+        )
+        return dedup_clusters(pairs, docs, "doc_id").localCheckpoint(
+            eager=True
+        )
+    finally:
+        cand.unpersist()
+        sigs.unpersist()
+
+
+_ORACLE_DEDUP_CLUSTERS = r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                     t -> t <> '') AS tk
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(tk) < 3
+              THEN list_distinct([array_to_string(tk, ' ')])
+              ELSE list_distinct(list_transform(
+                     range(1, len(tk) - 1),
+                     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+         END AS sh
+  FROM toks
+),
+pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+),
+und AS (SELECT a AS src, b AS dst FROM pairs
+        UNION SELECT b, a FROM pairs),
+reach(node, r) AS (
+  SELECT src, src FROM und
+  UNION
+  SELECT und.dst, reach.r FROM und JOIN reach ON und.src = reach.node
+),
+comp AS (SELECT node, min(r) AS rep FROM reach GROUP BY node),
+m AS (
+  SELECT d.doc_id, COALESCE(c.rep, d.doc_id) AS canonical_id
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+),
+sz AS (SELECT canonical_id AS ck, count(*) AS cluster_size
+       FROM m GROUP BY canonical_id)
+SELECT m.doc_id, m.canonical_id, sz.cluster_size,
+       m.doc_id = m.canonical_id AS keep
+FROM m JOIN sz ON m.canonical_id = sz.ck
+"""
+
+
 def _minhash_truth_sql(threshold: float) -> str:
     """Exact all-pairs 3-gram Jaccard at ``threshold`` — the ground
     truth the LSH ladder rows are compared against (O(n^2), oracle
@@ -1793,6 +1864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r10_add_prefixes": _q_add_prefixes,
         "stream_ingest": _q_stream_ingest,
         "dedup_minhash_verified": _q_minhash_verified,
+        "dedup_clusters": _q_dedup_clusters,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
         "dedup_embedding": _q_embedding_neardup,
         "dedup_embedding_lsh": _q_embedding_neardup_lsh,
@@ -1857,6 +1929,7 @@ def oracle_sql() -> dict[str, str]:
         "r10_add_prefixes": _ORACLE_EXTRACT,
         "stream_ingest": _ORACLE_EXTRACT,
         "dedup_minhash_verified": _ORACLE_MINHASH_VERIFIED,
+        "dedup_clusters": _ORACLE_DEDUP_CLUSTERS,
         "dedup_ngram_jaccard": _ORACLE_NGRAM_JACCARD,
         "dedup_minhash_lsh": _minhash_truth_sql(0.5),
         "dedup_simhash": _ORACLE_SIMHASH,

@@ -1438,3 +1438,28 @@ def test_pagerank_integer_exact_replay(spark):
     # rerun-stable (float PageRank would not be, at the last bits)
     again = {r["node"]: r["rank"] for r in pagerank(df, iterations=10).collect()}
     assert again == got
+
+
+def test_dedup_clusters_partition_and_min_id(spark):
+    """Pairs -> dedup decision: a transitive chain {1,2,3} collapses
+    to one cluster kept at min id; ids 9 and 10 in one cluster must
+    canonicalize to 9 (numeric min — the string-min trap "10" < "9"
+    must NOT leak out of CC's string interface); singletons keep
+    themselves with size 1; output covers EVERY doc exactly once."""
+    from tortank_spark.dedup import dedup_clusters
+
+    docs = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 9, 10, 42)], "doc_id long"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (9, 10)], "a long, b long"
+    )
+    rows = dedup_clusters(pairs, docs).collect()
+    got = {r["doc_id"]: (r["canonical_id"], r["cluster_size"], r["keep"])
+           for r in rows}
+    assert len(rows) == 6
+    assert got == {
+        1: (1, 3, True), 2: (1, 3, False), 3: (1, 3, False),
+        9: (9, 2, True), 10: (9, 2, False),
+        42: (42, 1, True),
+    }

@@ -674,3 +674,53 @@ def ngram_jaccard_dedup_pairs(
         return out.localCheckpoint(eager=True)
     finally:
         cand.unpersist()
+
+
+def dedup_clusters(
+    pairs: DataFrame, docs: DataFrame, id_col: str = "doc_id",
+    a: str = "a", b: str = "b",
+) -> DataFrame:
+    """Turn verified near-dup PAIRS into the actual dedup DECISION:
+    (id, canonical_id, cluster_size, keep). Near-duplicate relations
+    are not transitive pairwise, but dedup must be a partition — the
+    standard construction (MinHashLSH dedup as deployed for web-scale
+    LLM corpora) takes connected components of the verified-pair
+    graph as clusters and keeps one representative per cluster; the
+    representative is the MINIMUM id (deterministic, engine-neutral).
+
+    Composition, not new machinery: components come from
+    canonicalize.connected_components (size-adaptive star-contraction,
+    one job per round); ids transit CC as strings (its IRI interface)
+    but the representative is re-derived as min() over the ORIGINAL
+    typed ids, so numeric ids never suffer lexicographic-min surprises
+    ("10" < "9"). Singletons never enter CC at all — a left join gives
+    them canonical=self, size=1, keep=true. All joins equi-joins on
+    id / cluster key; cluster keys are near-dup groups, so key groups
+    are small and skew-safe by construction.
+    """
+    from .canonicalize import connected_components
+
+    edges = pairs.select(
+        F.col(a).cast("string").alias("src"),
+        F.col(b).cast("string").alias("dst"),
+    )
+    comp = connected_components(edges)
+    ids = docs.select(id_col).distinct()
+    m = ids.join(
+        comp, F.col(id_col).cast("string") == F.col("iri"), "left"
+    ).select(
+        id_col,
+        F.coalesce(
+            F.col("canonical"), F.col(id_col).cast("string")
+        ).alias("_ck"),
+    )
+    rep = m.groupBy("_ck").agg(
+        F.min(id_col).alias("canonical_id"),
+        F.count("*").alias("cluster_size"),
+    )
+    return m.join(rep, "_ck").select(
+        id_col,
+        "canonical_id",
+        "cluster_size",
+        (F.col(id_col) == F.col("canonical_id")).alias("keep"),
+    )
