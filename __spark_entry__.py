@@ -522,6 +522,54 @@ def _q_minhash_verified(spark, sf_dir):
         sigs.unpersist()
 
 
+def _q_events_asof(spark, sf_dir):
+    """Point-in-time feature backfill: every non-purchase event gets
+    the user's most recent STRICTLY-prior purchase (id + value), or
+    nulls — the as-of join a training pipeline uses to attach
+    label-time state without leakage (events.asof_join: union +
+    running-last window, ONE shuffle, no per-key range explosion).
+    Ties on (user, ts) in the right side are pre-aggregated to the
+    max-event_id purchase, so the result is deterministic. FULL value
+    oracle: DuckDB's native ASOF LEFT JOIN."""
+    from tortank_spark.events import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("purchase_id"),
+            F.max_by("value", "event_id").alias("purchase_value"),
+        )
+    )
+    left = ev.filter(F.col("event_type") != "purchase").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    return asof_join(left, purchases, "user_id").select(
+        "event_id", "user_id", "ts", "event_type",
+        F.col("ts_asof").alias("purchase_ts"),
+        "purchase_id_asof", "purchase_value_asof",
+    )
+
+
+_ORACLE_EVENTS_ASOF = """
+WITH p AS (
+  SELECT user_id, ts, max(event_id) AS purchase_id,
+         arg_max(value, event_id) AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+),
+l AS (
+  SELECT event_id, user_id, ts, event_type
+  FROM events WHERE event_type <> 'purchase'
+)
+SELECT l.event_id, l.user_id, l.ts, l.event_type,
+       p.ts AS purchase_ts, p.purchase_id AS purchase_id_asof,
+       p.purchase_value AS purchase_value_asof
+FROM l ASOF LEFT JOIN p
+  ON l.user_id = p.user_id AND l.ts > p.ts
+"""
+
+
 def _q_dedup_clusters(spark, sf_dir):
     """The dedup DECISION stage: verified near-dup pairs (the
     dedup_minhash_verified ladder at J>=0.8) -> connected-component
@@ -1900,6 +1948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_cosine": _q_topk_cosine,
         "events_windowed_agg": _q_events_windowed,
         "events_sessionize": _q_sessionize,
+        "events_asof_join": _q_events_asof,
         "sim_lsh_ann": _q_lsh_ann,
         "sim_ivf_ann": _q_ivf_ann,
         "mm_features": _q_multimodal_features,
@@ -2063,6 +2112,7 @@ def oracle_sql() -> dict[str, str]:
         "mm_resize": _ORACLE_MM_RESIZE,
         "mm_frames": _ORACLE_MM_FRAMES,
         "events_sessionize": _ORACLE_SESSIONS,
+        "events_asof_join": _ORACLE_EVENTS_ASOF,
         "events_windowed_agg": """
             SELECT date_trunc('hour', ts) AS win_start,
                    event_type,

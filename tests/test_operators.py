@@ -1463,3 +1463,39 @@ def test_dedup_clusters_partition_and_min_id(spark):
         9: (9, 2, True), 10: (9, 2, False),
         42: (42, 1, True),
     }
+
+
+def test_asof_join_strict_and_nonstrict(spark):
+    """Point-in-time join: each left event gets the LATEST prior
+    right state per key; equal timestamps are invisible under
+    strict=True and visible under strict=False; leading events with
+    no prior state get nulls; keys never bleed into each other."""
+    from datetime import datetime
+
+    from tortank_spark.events import asof_join
+
+    T = lambda s: datetime(2024, 1, 1, 0, s)
+    left = spark.createDataFrame(
+        [(1, T(0), "e0"), (1, T(5), "e1"), (1, T(10), "e2"),
+         (2, T(7), "e3")],
+        "user_id long, ts timestamp, name string",
+    )
+    right = spark.createDataFrame(
+        [(1, T(5), 10.0), (1, T(9), 20.0), (2, T(8), 30.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    strict = {
+        r["name"]: (r["value_asof"], r["ts_asof"])
+        for r in asof_join(left, right, "user_id").collect()
+    }
+    assert strict == {
+        "e0": (None, None),        # nothing prior
+        "e1": (None, None),        # T(5) state invisible at T(5)
+        "e2": (20.0, T(9)),
+        "e3": (None, None),        # key 2's state is LATER
+    }
+    nonstrict = {
+        r["name"]: r["value_asof"]
+        for r in asof_join(left, right, "user_id", strict=False).collect()
+    }
+    assert nonstrict == {"e0": None, "e1": 10.0, "e2": 20.0, "e3": None}

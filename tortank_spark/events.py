@@ -177,3 +177,75 @@ def sessionize_stateful(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def asof_join(
+    left: DataFrame, right: DataFrame, on: str, ts_col: str = "ts",
+    value_cols: list[str] | None = None, strict: bool = True,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Point-in-time (as-of) LEFT join: for every left row, attach the
+    ``value_cols`` of the LATEST right row with the same ``on`` key
+    and ``right.ts < left.ts`` (``<=`` with ``strict=False``); null
+    columns when no prior right row exists. The feature-backfill
+    primitive of a training-data pipeline — "the user's last purchase
+    state at event time" — where a naive range join explodes
+    quadratically per key.
+
+    Spark-first shape (the published union+window formulation, e.g.
+    Databricks' tempo): tag both sides, union, ONE shuffle on the key,
+    then a running ``last(value, ignorenulls=True)`` over
+    (ts, side-tag) order — the tag breaks equal-ts ties so a strict
+    join orders a right row AFTER left rows at the same instant
+    (invisible to them), non-strict before. Cost is sort-within-
+    partition, never per-key O(n*m); the attached values ride in one
+    struct so N value columns still cost one window expression.
+
+    Right rows must be unique per (key, ts) — pre-aggregate ties
+    upstream (the caller knows which row should win); the asof
+    output would otherwise be order-dependent.
+    """
+    from pyspark.sql import Window
+
+    value_cols = value_cols or [
+        c for c in right.columns if c not in (on, ts_col)
+    ]
+    # strict: left tag 0 < right tag 1 at equal ts -> right invisible
+    rtag, ltag = (1, 0) if strict else (0, 1)
+    r = right.select(
+        F.col(on),
+        F.col(ts_col),
+        F.lit(rtag).alias("_side"),
+        F.struct(
+            F.col(ts_col).alias(ts_col + suffix),
+            *[F.col(c).alias(c + suffix) for c in value_cols],
+        ).alias("_payload"),
+    )
+    lcols = left.columns
+    l = left.select(
+        *lcols,
+        F.lit(ltag).alias("_side"),
+        F.lit(None).cast(r.schema["_payload"].dataType).alias("_payload"),
+    )
+    merged = l.unionByName(
+        r.select(
+            F.col(on), F.col(ts_col), "_side", "_payload",
+        ), allowMissingColumns=True,
+    )
+    # ascending side-tag is right for BOTH modes because the tags are
+    # assigned per mode above: strict puts left(0) before right(1) at
+    # an equal ts, non-strict right(0) before left(1)
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col(ts_col).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = merged.withColumn(
+        "_state", F.last("_payload", ignorenulls=True).over(w)
+    ).filter(F.col("_side") == ltag)
+    return out.select(
+        *lcols,
+        *[F.col(f"_state.{ts_col}{suffix}").alias(ts_col + suffix)],
+        *[F.col(f"_state.{c}{suffix}").alias(c + suffix)
+          for c in value_cols],
+    )
