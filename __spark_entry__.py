@@ -380,6 +380,26 @@ def _q_entity_link(spark, sf_dir):
     )
 
 
+def _q_entity_cooccur(spark, sf_dir):
+    """Entity co-occurrence edges (e1, e2, n_docs): document-level
+    co-mention counts over the linked-entity table — the relation-
+    induction candidate graph (linking.entity_cooccurrence: distinct
+    (url, entity) -> url self-join bounded by the alias dictionary
+    size -> one aggregate). FULL value oracle: same join in SQL."""
+    from tortank_spark.linking import (
+        detect_mentions, entity_cooccurrence, link_mentions,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("urn:doc:"), F.col("doc_id")).alias("url"), "text"
+    )
+    alias = spark.createDataFrame(
+        _ALIAS_ROWS, "alias string, entity_iri string, prior double"
+    )
+    links = link_mentions(detect_mentions(docs), alias)
+    return entity_cooccurrence(links)
+
+
 _ALIAS_ROWS = [
     ("spark", "urn:ent:spark", 1.0),
     ("customer", "urn:ent:customer", 0.5),
@@ -1922,6 +1942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank": _q_pagerank,
         "kg_transitive_closure": _q_transitive_closure,
         "kg_entity_link": _q_entity_link,
+        "kg_entity_cooccur": _q_entity_cooccur,
         "r1_pattern_filter": _q_pattern_filter,
         "r2_parse_pattern": _q_parse_pattern,
         "r11_bgp_join": _q_bgp_join,
@@ -2010,6 +2031,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, mention, entity_iri,
                    round(prior * (1.0 + ln(1.0 + tf)), 6) AS score
             FROM tf JOIN alias_dict ON mention = alias
+        """,
+        "kg_entity_cooccur": f"""
+            WITH alias_dict(alias, entity_iri, prior) AS (VALUES {_ALIAS_VALUES}),
+            toks AS (
+              SELECT 'urn:doc:' || doc_id AS url, t.tok AS mention
+              FROM documents,
+                   unnest(regexp_split_to_array(lower(text), '[^0-9a-z_-]+')) AS t(tok)
+              WHERE length(t.tok) >= 3
+            ),
+            de AS (
+              SELECT DISTINCT url, entity_iri
+              FROM toks JOIN alias_dict ON mention = alias
+            )
+            SELECT a.entity_iri AS e1, b.entity_iri AS e2,
+                   count(*) AS n_docs
+            FROM de a JOIN de b
+              ON a.url = b.url AND a.entity_iri < b.entity_iri
+            GROUP BY 1, 2
         """,
         "r1_pattern_filter": _EVENTS_TRIPLES_SQL.replace(
             "FROM events", "FROM events WHERE event_type = 'click'"

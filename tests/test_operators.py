@@ -1499,3 +1499,22 @@ def test_asof_join_strict_and_nonstrict(spark):
         for r in asof_join(left, right, "user_id", strict=False).collect()
     }
     assert nonstrict == {"e0": None, "e1": 10.0, "e2": 20.0, "e3": None}
+
+
+def test_entity_cooccurrence_counts(spark):
+    """Co-mention edges: pair counted once per doc regardless of
+    mention multiplicity, ordered e1 < e2, min_docs filters."""
+    from tortank_spark.linking import entity_cooccurrence
+
+    links = spark.createDataFrame(
+        [("u1", "e:a"), ("u1", "e:b"), ("u1", "e:b"),  # dup mention
+         ("u2", "e:a"), ("u2", "e:b"), ("u2", "e:c"),
+         ("u3", "e:c")],
+        "url string, entity_iri string",
+    )
+    got = {(r["e1"], r["e2"]): r["n_docs"]
+           for r in entity_cooccurrence(links).collect()}
+    assert got == {("e:a", "e:b"): 2, ("e:a", "e:c"): 1, ("e:b", "e:c"): 1}
+    got2 = {(r["e1"], r["e2"]): r["n_docs"]
+            for r in entity_cooccurrence(links, min_docs=2).collect()}
+    assert got2 == {("e:a", "e:b"): 2}

@@ -73,3 +73,30 @@ def links_as_triples(links: DataFrame) -> DataFrame:
         F.lit(None).cast("string").alias("o_datatype"),
         F.lit(None).cast("string").alias("o_lang"),
     ).distinct()
+
+
+def entity_cooccurrence(
+    links: DataFrame, min_docs: int = 1,
+) -> DataFrame:
+    """Relation-induction candidates: undirected entity pair edges
+    (e1 < e2) weighted by the number of documents where both entities
+    are linked -> (e1, e2, n_docs). The standard first signal for KG
+    relation discovery (entities that keep co-occurring probably stand
+    in SOME relation worth typing later); feeds pagerank / CC over an
+    entity graph instead of the raw IRI graph.
+
+    Scale shape: distinct (url, entity) first (dictionary-bounded), a
+    self equi-join on url, then one aggregate. Per-document fan-out is
+    C(k, 2) with k <= |alias dictionary| — bounded by construction,
+    so the url join key cannot produce a celebrity-size group; the
+    aggregate is map-side partial. No Python anywhere."""
+    de = links.select("url", "entity_iri").distinct()
+    a = de.select("url", F.col("entity_iri").alias("e1"))
+    b = de.select("url", F.col("entity_iri").alias("e2"))
+    return (
+        a.join(b, "url")
+        .filter(F.col("e1") < F.col("e2"))
+        .groupBy("e1", "e2")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
