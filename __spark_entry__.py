@@ -295,6 +295,26 @@ def _q_doc_fingerprint(spark, sf_dir):
     return docs.select("doc_id", doc_fingerprint(F.col("text")).alias("fp"))
 
 
+def _q_salient_terms(spark, sf_dir):
+    """Per-doc top-5 distinguishing terms by (tf DESC, df ASC, term)
+    — tf-idf's ranking expressed in pure integers so the value hash
+    is engine-exact (textops.salient_terms). FULL value oracle."""
+    from tortank_spark.textops import salient_terms
+
+    return salient_terms(_t(spark, sf_dir, "documents"))
+
+
+def _q_filter_decision(spark, sf_dir):
+    """The corpus-cleaning gate: keep/drop + first-failing-rule reason
+    (too_short -> low_stopword -> lang_und) per document
+    (textops.filter_decision over quality_features + the Arrow
+    language-ID stage). FULL value oracle replays the ladder with
+    unrounded ratios."""
+    from tortank_spark.textops import filter_decision
+
+    return filter_decision(_t(spark, sf_dir, "documents"))
+
+
 def _q_quality(spark, sf_dir):
     from tortank_spark.textops import quality_features
 
@@ -360,7 +380,56 @@ def _text_oracles() -> dict[str, str]:
                     ELSE '{langs[-1]}' END AS lang_pred
         FROM n
     """
-    return {"text_quality": quality, "text_lang_id": lang_id}
+    salient = f"""
+        WITH toks AS (
+          SELECT doc_id, t.term AS term
+          FROM documents,
+               unnest(list_filter(regexp_split_to_array(lower(trim(text)),
+                                                        '\\s+'),
+                                  t -> t <> '')) AS t(term)
+        ),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        r AS (
+          SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+                 row_number() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY tf.tf DESC, dfq.df ASC, tf.term ASC
+                 ) AS rank
+          FROM tf JOIN dfq USING (term)
+        )
+        SELECT doc_id, term, tf, df, rank FROM r WHERE rank <= 5
+    """
+    # decision thresholds compare the UNROUNDED ratio (the rounded
+    # q_stop of the quality query would flip boundary docs)
+    decision = f"""
+        WITH q AS (
+          SELECT doc_id,
+                 CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                 END AS n_tokens,
+                 len(list_intersect(list_distinct({toks}), {lst("en")}))
+                     AS n_stop
+          FROM documents
+        ),
+        l AS ({lang_id}),
+        d AS (
+          SELECT q.doc_id,
+                 CASE WHEN q.n_tokens < 12 THEN 'too_short'
+                      WHEN q.n_stop::DOUBLE / greatest(q.n_tokens, 1) < 0.005
+                           THEN 'low_stopword'
+                      WHEN l.lang_pred = 'und' THEN 'lang_und'
+                 END AS reason
+          FROM q JOIN l ON q.doc_id = l.doc_id
+        )
+        SELECT doc_id, reason IS NULL AS keep, reason FROM d
+    """
+    return {
+        "text_quality": quality,
+        "text_lang_id": lang_id,
+        "text_salient_terms": salient,
+        "text_filter_decision": decision,
+    }
 
 
 def _q_entity_link(spark, sf_dir):
@@ -1965,6 +2034,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_contamination": _q_contamination,
         "text_sample_stratified": _q_stratified_sample,
         "text_quality": _q_quality,
+        "text_salient_terms": _q_salient_terms,
+        "text_filter_decision": _q_filter_decision,
         "text_lang_id": _q_lang_id,
         "sim_topk_cosine": _q_topk_cosine,
         "events_windowed_agg": _q_events_windowed,

@@ -1518,3 +1518,62 @@ def test_entity_cooccurrence_counts(spark):
     got2 = {(r["e1"], r["e2"]): r["n_docs"]
             for r in entity_cooccurrence(links, min_docs=2).collect()}
     assert got2 == {("e:a", "e:b"): 2}
+
+
+def test_salient_terms_integer_ranking(spark):
+    """Top-k terms per doc: tf DESC first, corpus-df ASC breaks tf
+    ties (rarer wins), term ASC makes the order total; k caps rows."""
+    from tortank_spark.textops import salient_terms
+
+    docs = spark.createDataFrame(
+        [(1, "apple apple banana cherry"),
+         (2, "banana banana cherry durian"),
+         (3, "cherry")],
+        "doc_id long, text string",
+    )
+    rows = salient_terms(docs, k=2).collect()
+    got = {(r["doc_id"], r["rank"]): (r["term"], r["tf"], r["df"])
+           for r in rows}
+    # doc 1: apple tf=2; then banana/cherry tf=1 tie -> apple df=1,
+    # banana df=2 < cherry df=3
+    assert got[(1, 1)] == ("apple", 2, 1)
+    assert got[(1, 2)] == ("banana", 1, 2)
+    assert got[(2, 1)] == ("banana", 2, 2)
+    assert got[(2, 2)] == ("durian", 1, 1)
+    assert got[(3, 1)] == ("cherry", 1, 3)
+    assert len(rows) == 5  # doc 3 has only one term
+
+
+def test_filter_decision_ladder(spark):
+    """Keep/drop gate: first failing rule wins — a 3-token doc is
+    too_short even though it would also fail low_stopword; a long
+    stopword-free doc with NO profile hits in any language is caught
+    by low_stopword; a long doc whose only hits are non-English
+    passes the ratio gate only if English stopwords appear, else
+    reason ladder order decides; a normal English doc keeps."""
+    from tortank_spark.textops import filter_decision
+
+    en = ("the cat and the dog are in the house and they are happy "
+          "with it all day long today")
+    salad = " ".join(f"tok{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, "tiny doc here"), (2, en), (3, salad)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["keep"], r["reason"])
+           for r in filter_decision(docs).collect()}
+    assert got == {
+        1: (False, "too_short"),
+        2: (True, None),
+        3: (False, "low_stopword"),
+    }
+    # lang_und branch: plenty of tokens, stopword ratio above the
+    # floor via English hits... impossible — en hits imply lang!=und.
+    # und requires ZERO profile hits, which forces ratio 0 < floor,
+    # so low_stopword always precedes lang_und with these defaults;
+    # verify the branch is reachable when the ratio floor is disabled.
+    got2 = {r["doc_id"]: r["reason"]
+            for r in filter_decision(
+                docs, min_tokens=3, min_stopword_ratio=0.0
+            ).collect()}
+    assert got2[3] == "lang_und"

@@ -495,3 +495,75 @@ def detect_language(
             yield pdf[cols + [out_col]]
 
     return df.mapInPandas(gen, schema=schema)
+
+
+def salient_terms(
+    df: DataFrame, k: int = 5, text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document top-k distinguishing terms -> (id, term, tf, df,
+    rank): ranked by (tf DESC, df ASC, term ASC) — high in THIS doc,
+    rare across the corpus, with a total order so the result is
+    deterministic. The tf-idf idea expressed in pure integers: the
+    float tf*ln(N/df) score ranks identically at fixed tf when df is
+    the tiebreak, and integer ordering is engine-exact where float
+    logs differ in last bits between libms (the value-hash oracle
+    could not pin a float score). Feeds KG mention candidates and
+    index keywords.
+
+    Scale: explode -> two aggregates (per-doc tf, corpus df, both
+    map-side partial) -> equi-join on term -> per-doc window (group
+    size = distinct terms of one doc, bounded by doc length — never
+    corpus-sized). Whole-stage-codegen column exprs only."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        id_col,
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("term")
+    )
+    return (
+        tf.join(dfreq, "term")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df", "rank")
+    )
+
+
+def filter_decision(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    min_tokens: int = 12, min_stopword_ratio: float = 0.005,
+) -> DataFrame:
+    """The corpus-cleaning GATE: (id, keep, reason) per document,
+    reason = FIRST failing rule in a fixed ladder (too_short ->
+    low_stopword -> lang_und), null when kept. Composes the verified
+    building blocks (quality_features ratios, detect_language) into
+    the decision a training-data pipeline actually materializes —
+    keep/drop plus an auditable drop reason for corpus reporting.
+
+    One pass: quality features are column expressions, language ID is
+    the one Arrow stage, the ladder is a CASE expression. Thresholds
+    compare IEEE doubles computed identically by any engine from the
+    same integer counts, so the decision is value-hash stable."""
+    q = quality_features(df, text_col)
+    lang = detect_language(q, text_col)
+    reason = (
+        F.when(F.col("q_n_tokens") < min_tokens, F.lit("too_short"))
+        .when(
+            F.col("q_stopword_ratio") < min_stopword_ratio,
+            F.lit("low_stopword"),
+        )
+        .when(F.col("lang_pred") == "und", F.lit("lang_und"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return lang.select(
+        id_col,
+        reason.isNull().alias("keep"),
+        reason.alias("reason"),
+    )
