@@ -418,3 +418,48 @@ def test_triangle_counts_all_equi_joins(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     release_caches(handle)
+
+
+def test_asof_join_single_exchange_no_range_join(spark):
+    """The as-of join must be the union+window shape: exactly ONE
+    Exchange (hash partitioning on the key for the window sort) and
+    no join operator at all — a BroadcastNestedLoopJoin or extra
+    shuffle means it regressed to a per-key range join."""
+    from datetime import datetime
+
+    from tortank_spark.events import asof_join
+
+    left = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1), "x")],
+        "user_id long, ts timestamp, name string",
+    )
+    right = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1), 1.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    plan = plan_of(asof_join(left, right, "user_id"))
+    # formatted mode: tree node "Exchange (n)", key in its Arguments
+    assert plan.count("Exchange (") == 1
+    assert "hashpartitioning(user_id" in plan
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_transitive_closure_and_pagerank_equi_joins_only(spark):
+    """Both iterative graph ops must stay equi-join geometry end to
+    end — the doubling closure self-join is on the midpoint column,
+    the pagerank contrib join on the src id; no plan may contain a
+    CartesianProduct or BroadcastNestedLoopJoin."""
+    from tortank_spark.graph import pagerank, transitive_closure
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "src long, dst long"
+    )
+    for df in (
+        transitive_closure(edges, max_rounds=3),
+        transitive_closure(edges, max_rounds=2, doubling=True),
+        pagerank(edges, iterations=2),
+    ):
+        plan = plan_of(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
