@@ -1857,6 +1857,75 @@ def _q_extract_full(spark, sf_dir):
     )
 
 
+def _q_khop_sample(spark, sf_dir):
+    """GraphSAGE-style deterministic 2-hop neighbor sampling (fanout
+    3 then 2) over the directed supply KG (same edge set as
+    kg_pagerank): the k smallest md5(src:dst) edges per node — a
+    rerun- and engine-reproducible draw with no RNG state, sampled
+    once per node and reused (sampling.khop_sample; salted tournament
+    bounds celebrity-node sorts). FULL value oracle: one row_number
+    ranking serves both fanouts because ranks are prefix-stable."""
+    from tortank_spark.sampling import khop_sample
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cp = orders.join(
+        li, orders["o_orderkey"] == li["l_orderkey"]
+    ).select(
+        F.concat(F.lit("c:"), F.col("o_custkey")).alias("src"),
+        F.concat(F.lit("p:"), F.col("l_partkey")).alias("dst"),
+    )
+    ps = li.select(
+        F.concat(F.lit("p:"), F.col("l_partkey")).alias("src"),
+        F.concat(F.lit("s:"), F.col("l_suppkey")).alias("dst"),
+    )
+    return khop_sample(cp.unionByName(ps).distinct(), fanouts=(3, 2))
+
+
+_ORACLE_KHOP = """
+WITH e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT 'c:' || o_custkey AS src, 'p:' || l_partkey AS dst
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    UNION ALL
+    SELECT 'p:' || l_partkey, 's:' || l_suppkey FROM lineitem
+  )
+),
+r AS (
+  SELECT src, dst,
+         row_number() OVER (
+           PARTITION BY src ORDER BY md5(src || ':' || dst), dst
+         ) AS rank
+  FROM e
+),
+s1 AS (SELECT src AS root, dst AS n1, rank AS r1 FROM r WHERE rank <= 3),
+s2 AS (SELECT src AS n1, dst AS n2, rank AS r2 FROM r WHERE rank <= 2)
+SELECT s1.root, s1.n1, s1.r1, s2.n2, s2.r2
+FROM s1 LEFT JOIN s2 ON s1.n1 = s2.n1
+"""
+
+
+def _q_predicate_stats(spark, sf_dir):
+    """KG profiling: per-(predicate, object kind, datatype, lang)
+    triple counts + distinct subject counts over the full-grammar
+    extraction corpus — the schema-discovery report a KG build runs
+    before writing partition specs (which predicates are dense, which
+    carry typed literals vs IRIs vs bnodes). One aggregate over the
+    extraction output; count(distinct s) is a two-phase hash agg.
+    FULL value oracle: the same aggregate over the SQL-regenerated
+    corpus."""
+    return (
+        _q_extract_full(spark, sf_dir)
+        .groupBy("p", "o_kind", "o_dt", "o_lg")
+        .agg(
+            F.count("*").alias("n_triples"),
+            F.countDistinct("s").alias("n_subjects"),
+        )
+    )
+
+
 _RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
 _NS = f"{EX}ns#"
 
@@ -1990,6 +2059,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_extract_turtle": _q_extract_turtle,
         "kg_extract_full": _q_extract_full,
+        "kg_predicate_stats": _q_predicate_stats,
+        "kg_khop_sample": _q_khop_sample,
         "kg_skolemize": _q_skolemize,
         "kg_ntriples_render": _q_ntriples_render,
         "s3_src_ntriples": _q_src_ntriples,
@@ -2053,6 +2124,12 @@ def oracle_sql() -> dict[str, str]:
     return {
         "kg_extract_turtle": _ORACLE_EXTRACT,
         "kg_extract_full": _full_oracle_sql(),
+        "kg_predicate_stats": f"""
+            SELECT p, o_kind, o_dt, o_lg, count(*) AS n_triples,
+                   count(DISTINCT s) AS n_subjects
+            FROM ({_full_oracle_sql()}) GROUP BY 1, 2, 3, 4
+        """,
+        "kg_khop_sample": _ORACLE_KHOP,
         "kg_skolemize": _ORACLE_SKOLEM,
         "kg_ntriples_render": _ORACLE_NTRIPLES,
         "s3_src_ntriples": _ORACLE_EXTRACT,

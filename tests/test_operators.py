@@ -1577,3 +1577,43 @@ def test_filter_decision_ladder(spark):
                 docs, min_tokens=3, min_stopword_ratio=0.0
             ).collect()}
     assert got2[3] == "lang_und"
+
+
+def test_sample_neighbors_and_khop_deterministic(spark):
+    """Neighbor sampling: exactly min(k, odeg) neighbors per node,
+    salt- and rerun-invariant, equal to the Python replay of the
+    md5(src:dst) definition; khop reuses one ranking for both hops
+    (prefix property) and keeps leaves with null n2."""
+    import hashlib
+
+    from tortank_spark.sampling import khop_sample, sample_neighbors
+
+    edges = [(f"u{i}", f"v{j}") for i in range(4) for j in range(6)]
+    edges += [("v0", "w0"), ("v0", "w1"), ("v0", "w2")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+
+    def draw(n_salts):
+        return {(r["src"], r["dst"], r["rank"])
+                for r in sample_neighbors(df, 3, n_salts=n_salts).collect()}
+
+    got = draw(64)
+    assert draw(2) == got == draw(64)
+    want = set()
+    by_src = {}
+    for s, d in edges:
+        by_src.setdefault(s, []).append(
+            (hashlib.md5(f"{s}:{d}".encode()).hexdigest(), d)
+        )
+    for s, lst in by_src.items():
+        for i, (_, d) in enumerate(sorted(lst)[:3], 1):
+            want.add((s, d, i))
+    assert got == want
+
+    rows = khop_sample(df, fanouts=(3, 2)).collect()
+    # every root emits exactly 3 hop-1 rows; v* nodes except v0 are
+    # leaves -> null n2; v0 rows expand to its 2 sampled w-neighbors
+    u0 = [r for r in rows if r["root"] == "u0"]
+    n1s = {r["n1"] for r in u0}
+    assert {r["n1"] for r in u0 if r["n2"] is None} == n1s - {"v0"}
+    if "v0" in n1s:
+        assert sorted(r["r2"] for r in u0 if r["n1"] == "v0") == [1, 2]

@@ -51,3 +51,76 @@ def stratified_sample(
         .filter(F.col("_rn2") <= k)
         .drop("_key", "_salt", "_rn", "_rn2")
     )
+
+
+def sample_neighbors(
+    edges: DataFrame, k: int, src: str = "src", dst: str = "dst",
+    n_salts: int = 64,
+) -> DataFrame:
+    """Deterministic per-node out-neighbor sample -> (src, dst, rank):
+    the k smallest md5("src:dst") edges of each source node — the
+    GraphSAGE fan-out draw as a pure function of the data (reruns,
+    engines, and partitionings all agree; no RNG state to ship to
+    executors). Hashing the PAIR matters: hashing dst alone would
+    elect the same globally-lucky neighbors under every node.
+
+    Same two-level salted tournament as stratified_sample (level-1
+    top-k within (src, salt), level-2 re-rank of <= k*n_salts
+    survivors), so a web-scale celebrity node never sorts its whole
+    adjacency in one task; the salt provably never changes the
+    result, so the oracle replays a plain per-src row_number.
+
+    Ranks are prefix-stable: the rank<=j subset IS the j-fanout
+    sample, so one ranking serves every smaller fanout for free."""
+    key = F.md5(
+        F.concat(
+            F.col(src).cast("string"), F.lit(":"),
+            F.col(dst).cast("string"),
+        )
+    )
+    salt = F.pmod(F.xxhash64(F.col(src), F.col(dst)), F.lit(n_salts))
+    lvl1 = Window.partitionBy(src, "_salt").orderBy("_key", dst)
+    lvl2 = Window.partitionBy(src).orderBy("_key", dst)
+    cand = (
+        edges.select(src, dst)
+        .withColumn("_key", key)
+        .withColumn("_salt", salt)
+        .withColumn("_rn", F.row_number().over(lvl1))
+        .filter(F.col("_rn") <= k)
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(lvl2))
+        .filter(F.col("rank") <= k)
+        .select(src, dst, "rank")
+    )
+
+
+def khop_sample(
+    edges: DataFrame, fanouts: tuple[int, int] = (3, 2),
+    src: str = "src", dst: str = "dst", n_salts: int = 64,
+) -> DataFrame:
+    """Two-hop deterministic neighborhood expansion -> (root, n1, r1,
+    n2, r2): fanouts[0] sampled neighbors per root, fanouts[1] per
+    hop-1 node (nulls when a hop-1 node has no out-edges — leaf
+    evidence is training signal too). Each node's neighbors are
+    sampled ONCE and reused wherever the node appears (the standard
+    GraphSAGE economy), and because ranks are prefix-stable the
+    hop-2 sample is just rank <= fanouts[1] of the SAME ranking —
+    one tournament serves both hops. The expansion is an equi-join
+    on the hop-1 node id; fan-out per row is bounded by fanouts[1]."""
+    k1, k2 = fanouts
+    # both join sides branch off the one ranking — checkpoint it so
+    # the tournament runs once, not once per branch
+    s = sample_neighbors(edges, max(k1, k2), src, dst, n_salts
+                         ).localCheckpoint(eager=False)
+    s1 = s.filter(F.col("rank") <= k1).select(
+        F.col(src).alias("root"), F.col(dst).alias("n1"),
+        F.col("rank").alias("r1"),
+    )
+    s2 = s.filter(F.col("rank") <= k2).select(
+        F.col(src).alias("n1"), F.col(dst).alias("n2"),
+        F.col("rank").alias("r2"),
+    )
+    return s1.join(s2, "n1", "left").select(
+        "root", "n1", "r1", "n2", "r2"
+    )
