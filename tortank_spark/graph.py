@@ -68,11 +68,19 @@ def pagerank(
         .distinct()
     )
     deg = e.groupBy("src").agg(F.count("*").alias("odeg"))
-    ed = e.join(deg, "src").persist()
+    # pre-partition the two LOOP-INVARIANT tables on their join keys
+    # ONCE: the per-round contrib join then reuses ed's partitioning
+    # (only the rank side — node-count rows, the small side — moves),
+    # and the teleport left join reuses nodes' (the fan-in aggregate
+    # already leaves sums hashpartitioned by dst). Per round, the
+    # edge table — the 100-TB table — is shuffled ZERO times; only
+    # rank-sized and contrib-sized data crosses the wire.
+    ed = e.join(deg, "src").repartition("src").persist()
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
+        .repartition("node")
         .persist()
     )
     try:
