@@ -1812,6 +1812,36 @@ def _q_stream_ingest(spark, sf_dir):
     )
 
 
+def _q_stream_dedup(spark, sf_dir):
+    """§2.4 streaming, dedup stage: land the documents table as files,
+    drain them with the streaming per-fingerprint aggregate
+    (streaming.stream_exact_dedup: state folds across micro-batches;
+    min/count are order-insensitive so the result is deterministic
+    whatever the batch cut), read the snapshot sink back. FULL value
+    oracle: the same md5 group-aggregate in SQL."""
+    from tortank_spark.streaming import stream_exact_dedup
+
+    d = _workdir(sf_dir, "stream_dedup")
+    land, out, ckpt = f"{d}/in", f"{d}/out", f"{d}/ckpt"
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs.repartition(4).write.mode("overwrite").parquet(land)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(land)
+    )
+    q = stream_exact_dedup(stream, out, ckpt)
+    q.awaitTermination(300)
+    return spark.read.parquet(out)
+
+
+_ORACLE_STREAM_DEDUP = """
+SELECT md5(text) AS fingerprint, min(doc_id) AS doc_id,
+       count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
 # -------------------------------------- full-grammar extraction oracle
 
 _FULL_DOC_TEMPLATE = """@prefix ex: <http://example.org/ns#> .
@@ -2071,6 +2101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r6_add_statement": _q_add_statement,
         "r10_add_prefixes": _q_add_prefixes,
         "stream_ingest": _q_stream_ingest,
+        "stream_dedup": _q_stream_dedup,
         "dedup_minhash_verified": _q_minhash_verified,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
@@ -2146,6 +2177,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "r10_add_prefixes": _ORACLE_EXTRACT,
         "stream_ingest": _ORACLE_EXTRACT,
+        "stream_dedup": _ORACLE_STREAM_DEDUP,
         "dedup_minhash_verified": _ORACLE_MINHASH_VERIFIED,
         "dedup_clusters": _ORACLE_DEDUP_CLUSTERS,
         "dedup_ngram_jaccard": _ORACLE_NGRAM_JACCARD,

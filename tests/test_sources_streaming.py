@@ -286,3 +286,42 @@ def test_sessionize_random_vs_python_reference(spark):
         for r in sessionize_stats(ev).collect()
     }
     assert got == want
+
+
+def test_stream_exact_dedup_folds_state_across_drains(spark, tmp_path):
+    """The streaming dedup must be INCREMENTAL: drain once, land more
+    files (including new copies of already-seen texts), drain again
+    from the same checkpoint — counts fold into the existing state
+    and min-ids tighten; the snapshot sink holds exactly the merged
+    state. A per-batch rinse would reset n_copies."""
+    from tortank_spark.streaming import stream_exact_dedup
+
+    land = str(tmp_path / "in"); out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(land)
+        )
+        q = stream_exact_dedup(stream, out, ckpt)
+        q.awaitTermination(120)
+
+    spark.createDataFrame(
+        [(10, "aaa"), (11, "bbb"), (12, "aaa")], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(land)
+    drain()
+    first = {r["fingerprint"]: (r["doc_id"], r["n_copies"])
+             for r in spark.read.parquet(out).collect()}
+    assert sorted(v for v in first.values()) == [(10, 2), (11, 1)]
+
+    spark.createDataFrame(
+        [(5, "aaa"), (13, "ccc")], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(land)
+    drain()
+    got = sorted(
+        (r["doc_id"], r["n_copies"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert got == [(5, 3), (11, 1), (13, 1)]

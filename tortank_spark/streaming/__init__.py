@@ -1,1 +1,3 @@
-from .ingest import stream_extract, stream_ntriples_directory  # noqa: F401
+from .ingest import (  # noqa: F401
+    stream_exact_dedup, stream_extract, stream_ntriples_directory,
+)
