@@ -295,6 +295,142 @@ def _q_doc_fingerprint(spark, sf_dir):
     return docs.select("doc_id", doc_fingerprint(F.col("text")).alias("fp"))
 
 
+def _q_redact_pii(spark, sf_dir):
+    """PII scrub over deterministic PII-bearing text synthesized from
+    the customer table (name -> email local part, custkey -> phone
+    digits and IPv4 octets — both engines build byte-identical
+    inputs): emails, IPv4s, then phone-like digit runs redacted and
+    counted in sequence (textops.redact_pii — JVM regexp exprs only,
+    patterns in the Java-regex/RE2 common subset). The customer-name
+    digit block is itself phone-shaped and gets redacted too — the
+    classic regex-PII false positive, identical in both engines.
+    FULL value oracle: same pattern bytes, same stage order."""
+    from tortank_spark.textops import redact_pii
+
+    c = _t(spark, sf_dir, "customer")
+    docs = c.select(
+        F.col("c_custkey").alias("doc_id"),
+        F.concat(
+            F.lit("Reach "), F.col("c_name"),
+            F.lit(" <"),
+            F.lower(F.regexp_replace("c_name", "#", ".")),
+            F.lit("@example.com> or +1 555 0"),
+            F.col("c_custkey").cast("string"),
+            F.lit(" at 10.0."),
+            (F.col("c_custkey") % 200).cast("string"),
+            F.lit("."),
+            (F.col("c_custkey") % 250).cast("string"),
+            F.lit(" now"),
+        ).alias("text"),
+    )
+    return redact_pii(docs)
+
+
+def _pii_oracle_sql() -> str:
+    from tortank_spark.textops import PII_EMAIL, PII_IPV4, PII_PHONE
+
+    return """
+WITH d AS (
+  SELECT c_custkey AS doc_id,
+         'Reach ' || c_name || ' <' || lower(replace(c_name, '#', '.'))
+         || '@example.com> or +1 555 0' || c_custkey || ' at 10.0.'
+         || (c_custkey % 200) || '.' || (c_custkey % 250) || ' now'
+         AS text
+  FROM customer
+),
+s1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '@EMAIL@')) AS n_emails,
+         regexp_replace(text, '@EMAIL@', '[EMAIL]', 'g') AS t1
+  FROM d
+),
+s2 AS (
+  SELECT doc_id, n_emails,
+         len(regexp_extract_all(t1, '@IPV4@')) AS n_ips,
+         regexp_replace(t1, '@IPV4@', '[IP]', 'g') AS t2
+  FROM s1
+),
+s3 AS (
+  SELECT doc_id, n_emails, n_ips,
+         len(regexp_extract_all(t2, '@PHONE@')) AS n_phones,
+         regexp_replace(t2, '@PHONE@', '[PHONE]', 'g') AS t3
+  FROM s2
+)
+SELECT doc_id, t3 AS text_redacted, n_emails, n_ips, n_phones FROM s3
+""".replace("@EMAIL@", PII_EMAIL).replace(
+        "@IPV4@", PII_IPV4
+    ).replace("@PHONE@", PII_PHONE)
+
+
+def _q_repetition(spark, sf_dir):
+    """Gopher-style repetition signals (duplicate-line fraction, top
+    token / top bigram mass) over the documents table, with a
+    deterministic boilerplate tail (two identical copyright lines)
+    appended to even doc_ids so the line machinery is exercised
+    (textops.repetition_signals). FULL value oracle."""
+    from tortank_spark.textops import repetition_signals
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit("\nCopyright Example Corp\nCopyright Example Corp"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return repetition_signals(docs)
+
+
+_ORACLE_REPETITION = r"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0
+              THEN text || chr(10) || 'Copyright Example Corp'
+                        || chr(10) || 'Copyright Example Corp'
+              ELSE text END AS text
+  FROM documents
+),
+base AS (
+  SELECT doc_id,
+         list_filter(string_split(text, chr(10)), x -> x <> '') AS ls,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                     t -> t <> '') AS tk
+  FROM d
+),
+tok AS (
+  SELECT b.doc_id, t.tok, count(*) AS n
+  FROM base b, unnest(b.tk) AS t(tok) GROUP BY 1, 2
+),
+tok_stats AS (
+  SELECT doc_id, max(n) AS top_tok, sum(n) AS n_toks
+  FROM tok GROUP BY 1
+),
+bg AS (
+  SELECT b.doc_id, g.bg, count(*) AS n
+  FROM base b,
+       unnest(list_transform(range(1, len(b.tk)),
+                             i -> b.tk[i] || ' ' || b.tk[i+1])) AS g(bg)
+  GROUP BY 1, 2
+),
+bg_stats AS (
+  SELECT doc_id, max(n) AS top_bg, sum(n) AS n_bgs FROM bg GROUP BY 1
+)
+SELECT b.doc_id,
+       len(b.ls) AS n_lines,
+       (len(b.ls) - len(list_distinct(b.ls)))::DOUBLE
+         / greatest(len(b.ls), 1) AS dup_line_frac,
+       COALESCE(t.top_tok, 0)::DOUBLE
+         / greatest(COALESCE(t.n_toks, 0), 1) AS top_token_frac,
+       COALESCE(g.top_bg, 0)::DOUBLE
+         / greatest(COALESCE(g.n_bgs, 0), 1) AS top_bigram_frac
+FROM base b
+LEFT JOIN tok_stats t ON b.doc_id = t.doc_id
+LEFT JOIN bg_stats g ON b.doc_id = g.doc_id
+"""
+
+
 def _q_salient_terms(spark, sf_dir):
     """Per-doc top-5 distinguishing terms by (tf DESC, df ASC, term)
     — tf-idf's ranking expressed in pure integers so the value hash
@@ -2138,6 +2274,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_quality,
         "text_salient_terms": _q_salient_terms,
         "text_filter_decision": _q_filter_decision,
+        "text_redact_pii": _q_redact_pii,
+        "text_repetition": _q_repetition,
         "text_lang_id": _q_lang_id,
         "sim_topk_cosine": _q_topk_cosine,
         "events_windowed_agg": _q_events_windowed,
@@ -2322,6 +2460,8 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         **_text_oracles(),
+        "text_redact_pii": _pii_oracle_sql(),
+        "text_repetition": _ORACLE_REPETITION,
         "text_winnow": _ORACLE_WINNOW,
         "dedup_winnow": _ORACLE_WINNOW_PAIRS % _ORACLE_WINNOW,
         "text_winnow_spans": _ORACLE_WINNOW_SPANS % _ORACLE_WINNOW,

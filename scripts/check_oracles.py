@@ -47,6 +47,13 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
         )
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    only = set(sys.argv[1:])
+    if only:
+        unknown = only - set(qs)
+        if unknown:
+            print("unknown query names:", sorted(unknown))
+            return 2
+        qs = {k: v for k, v in qs.items() if k in only}
     failures = []
     for name, fn in qs.items():
         t0 = time.time()

@@ -1617,3 +1617,66 @@ def test_sample_neighbors_and_khop_deterministic(spark):
     assert {r["n1"] for r in u0 if r["n2"] is None} == n1s - {"v0"}
     if "v0" in n1s:
         assert sorted(r["r2"] for r in u0 if r["n1"] == "v0") == [1, 2]
+
+
+def test_redact_pii_sequenced_counts(spark):
+    """PII scrub: emails first, then IPv4s, then phone-like digit
+    runs — each stage counts on the PREVIOUS stage's output, so the
+    digits inside an already-redacted email/IP are never re-counted
+    as a phone. Bracket tokens survive later stages."""
+    from tortank_spark.textops import redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@ex-ample.co.uk or call +1 (555) 010-2030"),
+            (2, "host 10.0.200.250 and 999.1.2.3 stay distinct"),
+            (3, "digits 12345678901 look phone-like; 1234 do not"),
+            (4, "clean text, nothing to scrub"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in redact_pii(docs).collect()}
+    r1 = got[1]
+    assert (r1["n_emails"], r1["n_ips"], r1["n_phones"]) == (1, 0, 1)
+    assert r1["text_redacted"] == "mail [EMAIL] or call [PHONE]"
+    r2 = got[2]
+    # \b\d{1,3}(\.\d{1,3}){3}\b matches the embedded 999.1.2.3 too
+    # (word-boundary, not value-range, semantics — documented)
+    assert r2["n_ips"] == 2 and "[IP]" in r2["text_redacted"]
+    assert r2["n_phones"] == 0
+    r3 = got[3]
+    assert (r3["n_emails"], r3["n_ips"], r3["n_phones"]) == (0, 0, 1)
+    assert "1234 do not" in r3["text_redacted"]
+    assert got[4]["text_redacted"] == "clean text, nothing to scrub"
+    assert (got[5]["n_emails"], got[5]["n_phones"]) == (0, 0)
+
+
+def test_repetition_signals_known_values(spark):
+    """Gopher-style repetition stats on hand-computable docs: exact
+    duplicate-line fraction, top-token and top-bigram mass; empty and
+    single-token docs hit the greatest(..,1) guards, never NaN."""
+    from tortank_spark.textops import repetition_signals
+
+    docs = spark.createDataFrame(
+        [
+            # 4 non-empty lines, 'b' duplicated twice -> dup 2/4
+            (1, "a\nb\n\nb\nb"),
+            # tokens: the the the cat -> top_tok 3/4;
+            # bigrams: (the the) x2 (the cat) -> 2/3
+            (2, "the the the cat"),
+            (3, "solo"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_signals(docs).collect()}
+    assert got[1]["n_lines"] == 4
+    assert abs(got[1]["dup_line_frac"] - 0.5) < 1e-12
+    assert abs(got[2]["top_token_frac"] - 0.75) < 1e-12
+    assert abs(got[2]["top_bigram_frac"] - 2 / 3) < 1e-12
+    assert got[3]["top_token_frac"] == 1.0
+    assert got[3]["top_bigram_frac"] == 0.0  # no bigrams, guard hit
+    assert got[4]["n_lines"] == 0
+    assert got[4]["dup_line_frac"] == 0.0
+    assert got[4]["top_token_frac"] == 0.0

@@ -567,3 +567,119 @@ def filter_decision(
         reason.isNull().alias("keep"),
         reason.alias("reason"),
     )
+
+
+# PII patterns chosen for the Java-regex/RE2 COMMON SUBSET (no
+# lookaround, no backreferences) so the DuckDB oracle runs the same
+# bytes: email local@domain.tld, dotted-quad IPv4, loose international
+# phone (leading +? then >= 8 of digit/space/()-, digit-terminated)
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}(\.\d{1,3}){3}\b"
+PII_PHONE = r"\+?\d[\d ()-]{6,}\d"
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Training-corpus PII scrub -> (id, text_redacted, n_emails,
+    n_ips, n_phones): emails, IPv4s, then phone-like runs replaced by
+    [EMAIL]/[IP]/[PHONE] tokens, counted per stage. SEQUENCED on
+    purpose — each count and replace runs on the output of the
+    previous stage, so a phone-digit run inside an already-redacted
+    email is never double-counted, and the oracle replays the same
+    pipeline order. Pure JVM regexp column expressions (whole-stage
+    codegen, no Python); patterns are lookaround-free so Java regex
+    and RE2 agree byte-for-byte."""
+    t0 = F.col(text_col)
+    n_emails = F.regexp_count(t0, F.lit(PII_EMAIL))
+    t1 = F.regexp_replace(t0, PII_EMAIL, "[EMAIL]")
+    n_ips = F.regexp_count(t1, F.lit(PII_IPV4))
+    t2 = F.regexp_replace(t1, PII_IPV4, "[IP]")
+    n_phones = F.regexp_count(t2, F.lit(PII_PHONE))
+    t3 = F.regexp_replace(t2, PII_PHONE, "[PHONE]")
+    return df.select(
+        id_col,
+        t3.alias("text_redacted"),
+        n_emails.alias("n_emails"),
+        n_ips.alias("n_ips"),
+        n_phones.alias("n_phones"),
+    )
+
+
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher-style repetition quality signals -> (id, n_lines,
+    dup_line_frac, top_token_frac, top_bigram_frac): the fraction of
+    non-empty lines that are duplicates of an earlier line, and the
+    mass of the single most frequent token / word-bigram — the
+    boilerplate and degenerate-repetition detectors of the published
+    web-corpus filtering recipes (Rae et al. Gopher, app. A).
+
+    Shapes: line stats are pure array expressions (split +
+    array_distinct — per-row, no shuffle); token/bigram modes explode
+    to (doc, gram) counts and take max/sum per doc — two map-side-
+    partial aggregates keyed by doc id, never corpus-global state.
+    Every fraction is ONE integer division, bit-identical in any
+    IEEE engine (hash-oracle-safe)."""
+    lines = F.filter(
+        F.split(F.col(text_col), r"\n"), lambda x: x != F.lit("")
+    )
+    n_lines = F.size(lines)
+    dup_line_frac = (
+        (n_lines - F.size(F.array_distinct(lines)))
+        / F.greatest(n_lines, F.lit(1))
+    )
+    base = df.select(
+        id_col,
+        n_lines.alias("n_lines"),
+        dup_line_frac.alias("dup_line_frac"),
+        F.filter(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+            lambda x: x != F.lit(""),
+        ).alias("_toks"),
+    )
+    toks = base.select(id_col, F.explode("_toks").alias("_tok"))
+    tok_counts = toks.groupBy(id_col, "_tok").agg(
+        F.count("*").alias("_n")
+    )
+    tok_stats = tok_counts.groupBy(id_col).agg(
+        F.max("_n").alias("_top_tok"), F.sum("_n").alias("_n_toks")
+    )
+    # adjacent-pair bigrams as pure array ops (zip the array with its
+    # own 1-shift), ONE explode — no positional self-join
+    n1 = F.greatest(F.size(F.col("_toks")) - 1, F.lit(0))
+    bigrams = base.select(
+        id_col,
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("_toks"), 1, n1),
+                F.slice(F.col("_toks"), 2, n1),
+                lambda x, y: F.concat(x, F.lit(" "), y),
+            )
+        ).alias("_bg"),
+    )
+    bg_counts = bigrams.groupBy(id_col, "_bg").agg(
+        F.count("*").alias("_n")
+    )
+    bg_stats = bg_counts.groupBy(id_col).agg(
+        F.max("_n").alias("_top_bg"), F.sum("_n").alias("_n_bgs")
+    )
+    return (
+        base.drop("_toks")
+        .join(tok_stats, id_col, "left")
+        .join(bg_stats, id_col, "left")
+        .select(
+            id_col,
+            "n_lines",
+            "dup_line_frac",
+            (
+                F.coalesce(F.col("_top_tok"), F.lit(0))
+                / F.greatest(F.coalesce(F.col("_n_toks"), F.lit(0)), F.lit(1))
+            ).alias("top_token_frac"),
+            (
+                F.coalesce(F.col("_top_bg"), F.lit(0))
+                / F.greatest(F.coalesce(F.col("_n_bgs"), F.lit(0)), F.lit(1))
+            ).alias("top_bigram_frac"),
+        )
+    )
