@@ -431,6 +431,156 @@ LEFT JOIN bg_stats g ON b.doc_id = g.doc_id
 """
 
 
+def _synth_urls(spark, sf_dir):
+    """Deterministic messy-URL table from orders (both engines build
+    byte-identical strings): scheme/host case noise, default and
+    non-default ports, empty and trailing-slash paths, tracking and
+    unsorted query params, fragments — every normalize branch hit."""
+    o = _t(spark, sf_dir, "orders")
+    k, c = F.col("o_orderkey"), F.col("o_custkey")
+    return o.select(
+        k.alias("doc_id"),
+        F.concat(
+            F.when(k % 2 == 0, F.lit("HTTP")).otherwise(F.lit("https")),
+            F.lit("://"),
+            F.when(k % 2 == 0, F.lit("WWW.")).otherwise(F.lit("m.")),
+            F.lit("Shop-"),
+            (c % 97).cast("string"),
+            F.when(k % 3 == 0, F.lit(".COM"))
+            .when(k % 3 == 1, F.lit(".co.UK"))
+            .otherwise(F.lit(".De")),
+            F.when(k % 5 == 0, F.lit(":80"))
+            .when(k % 5 == 1, F.lit(":8080"))
+            .otherwise(F.lit("")),
+            F.when(k % 7 == 0, F.lit("")).otherwise(
+                F.concat(
+                    F.lit("/Item/"),
+                    k.cast("string"),
+                    F.when(k % 7 == 1, F.lit("/view/")).otherwise(
+                        F.lit("")
+                    ),
+                )
+            ),
+            F.when(k % 4 == 0, F.lit("?utm_source=mail&b=2&a=1"))
+            .when(k % 4 == 1, F.lit("?fbclid=xyz"))
+            .when(k % 4 == 2, F.lit("?q=Mixed%20Case&utm_campaign=x"))
+            .otherwise(F.lit("")),
+            F.when(
+                k % 6 == 0, F.concat(F.lit("#Frag"), k.cast("string"))
+            ).otherwise(F.lit("")),
+        ).alias("url"),
+    )
+
+
+def _q_url_normalize(spark, sf_dir):
+    """URL canonicalization (weburl.normalize_urls) over the synthetic
+    messy-URL table: lowercased scheme/host, default ports stripped,
+    fragments dropped, tracking params removed, surviving params
+    sorted, heuristic registrable domain. Per-row expressions, zero
+    shuffle. FULL value oracle (DuckDB replays the identical regex
+    bytes and list ops)."""
+    from tortank_spark.weburl import normalize_urls
+
+    return normalize_urls(_synth_urls(spark, sf_dir))
+
+
+def _q_domain_rollup(spark, sf_dir):
+    """Per-registrable-domain crawl stats (weburl.domain_rollup):
+    page count, distinct hosts, distinct canonical URLs, max path
+    depth — ONE algebraic-aggregate exchange keyed by domain. FULL
+    value oracle."""
+    from tortank_spark.weburl import domain_rollup
+
+    return domain_rollup(_synth_urls(spark, sf_dir))
+
+
+# Shared DuckDB replay of weburl's canonical form (RE2 == Java regex
+# on these lookaround-free patterns; list_sort/array_sort both binary
+# order on ASCII params). %s slot = the synthesized-input CTE body.
+_ORACLE_URL_NORM = r"""
+WITH d AS (%s),
+parts AS (
+  SELECT doc_id,
+         lower(regexp_extract(url,
+               '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         regexp_extract(url,
+               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS authority,
+         regexp_extract(url,
+               '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
+         COALESCE(array_to_string(list_sort(list_filter(
+           string_split(regexp_extract(url,
+             '^[A-Za-z][A-Za-z0-9+.-]*://[^#]*\?([^#]*)', 1), '&'),
+           p -> p <> '' AND NOT starts_with(p, 'utm_')
+                AND string_split(p, '=')[1] NOT IN ('fbclid', 'gclid')
+         )), '&'), '') AS query
+  FROM d
+),
+p2 AS (
+  SELECT doc_id, scheme, query,
+         lower(regexp_replace(authority, ':[0-9]+$', '')) AS host,
+         regexp_extract(authority, ':([0-9]+)$', 1) AS port,
+         CASE WHEN rawpath = '' THEN '/' ELSE rawpath END AS path
+  FROM parts
+),
+p3 AS (
+  SELECT *,
+         CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                   OR (scheme = 'https' AND port = '443')
+              THEN '' ELSE ':' || port END AS port_sfx,
+         string_split(host, '.') AS labels
+  FROM p2
+),
+p4 AS (
+  SELECT *, len(labels) AS n,
+         CASE WHEN len(labels) >= 3
+                   AND length(labels[len(labels)]) = 2
+                   AND labels[len(labels) - 1] IN
+                       ('co','com','ac','gov','org','net','edu')
+              THEN 3 ELSE 2 END AS k
+  FROM p3
+),
+norm AS (
+  SELECT doc_id,
+         scheme || '://' || host || port_sfx || path ||
+           CASE WHEN query = '' THEN '' ELSE '?' || query END AS url_norm,
+         scheme, host,
+         CASE WHEN n < 2 THEN host
+              ELSE array_to_string(
+                     list_slice(labels, n - k + 1, n), '.') END AS domain,
+         len(list_filter(string_split(path, '/'), x -> x <> ''))
+           AS path_depth
+  FROM p4
+)
+"""
+
+_SYNTH_URLS_SQL = r"""
+  SELECT o_orderkey AS doc_id,
+         (CASE WHEN o_orderkey % 2 = 0 THEN 'HTTP' ELSE 'https' END)
+         || '://'
+         || (CASE WHEN o_orderkey % 2 = 0 THEN 'WWW.' ELSE 'm.' END)
+         || 'Shop-' || (o_custkey % 97)
+         || (CASE WHEN o_orderkey % 3 = 0 THEN '.COM'
+                  WHEN o_orderkey % 3 = 1 THEN '.co.UK'
+                  ELSE '.De' END)
+         || (CASE WHEN o_orderkey % 5 = 0 THEN ':80'
+                  WHEN o_orderkey % 5 = 1 THEN ':8080'
+                  ELSE '' END)
+         || (CASE WHEN o_orderkey % 7 = 0 THEN ''
+                  ELSE '/Item/' || o_orderkey ||
+                       (CASE WHEN o_orderkey % 7 = 1
+                             THEN '/view/' ELSE '' END) END)
+         || (CASE WHEN o_orderkey % 4 = 0 THEN '?utm_source=mail&b=2&a=1'
+                  WHEN o_orderkey % 4 = 1 THEN '?fbclid=xyz'
+                  WHEN o_orderkey % 4 = 2
+                       THEN '?q=Mixed%20Case&utm_campaign=x'
+                  ELSE '' END)
+         || (CASE WHEN o_orderkey % 6 = 0
+                  THEN '#Frag' || o_orderkey ELSE '' END)
+         AS url
+  FROM orders
+"""
+
+
 def _q_salient_terms(spark, sf_dir):
     """Per-doc top-5 distinguishing terms by (tf DESC, df ASC, term)
     — tf-idf's ranking expressed in pure integers so the value hash
@@ -2276,6 +2426,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_filter_decision": _q_filter_decision,
         "text_redact_pii": _q_redact_pii,
         "text_repetition": _q_repetition,
+        "web_url_normalize": _q_url_normalize,
+        "web_domain_rollup": _q_domain_rollup,
         "text_lang_id": _q_lang_id,
         "sim_topk_cosine": _q_topk_cosine,
         "events_windowed_agg": _q_events_windowed,
@@ -2462,6 +2614,14 @@ def oracle_sql() -> dict[str, str]:
         **_text_oracles(),
         "text_redact_pii": _pii_oracle_sql(),
         "text_repetition": _ORACLE_REPETITION,
+        "web_url_normalize": (_ORACLE_URL_NORM % _SYNTH_URLS_SQL)
+        + "SELECT doc_id, url_norm, scheme, host, domain, path_depth"
+        + " FROM norm",
+        "web_domain_rollup": (_ORACLE_URL_NORM % _SYNTH_URLS_SQL)
+        + "SELECT domain, count(*) AS n_pages,"
+        + " count(DISTINCT host) AS n_hosts,"
+        + " count(DISTINCT url_norm) AS n_urls,"
+        + " max(path_depth) AS max_depth FROM norm GROUP BY domain",
         "text_winnow": _ORACLE_WINNOW,
         "dedup_winnow": _ORACLE_WINNOW_PAIRS % _ORACLE_WINNOW,
         "text_winnow_spans": _ORACLE_WINNOW_SPANS % _ORACLE_WINNOW,

@@ -1680,3 +1680,49 @@ def test_repetition_signals_known_values(spark):
     assert got[4]["n_lines"] == 0
     assert got[4]["dup_line_frac"] == 0.0
     assert got[4]["top_token_frac"] == 0.0
+
+
+def test_url_normalize_edge_cases(spark):
+    """Canonical URL form on cases the synthetic contract table does
+    not generate: bare host (no path), non-default port kept, https
+    :443 stripped, path case preserved while host is lowered, param
+    values containing '=', single-label hosts, co.COM (second-level
+    heuristic must NOT fire on a 3-letter TLD)."""
+    from tortank_spark.weburl import normalize_urls
+
+    docs = spark.createDataFrame(
+        [
+            (1, "HTTPS://Ex.COM:443#frag"),
+            (2, "http://ex.com:8080/A/B?x=a=b&utm_x=1"),
+            (3, "http://localhost/p"),
+            (4, "https://a.co.com/z"),
+            (5, "http://deep.www.site.co.uk"),
+        ],
+        "doc_id long, url string",
+    )
+    got = {r["doc_id"]: r for r in normalize_urls(docs).collect()}
+    assert got[1]["url_norm"] == "https://ex.com/"
+    assert got[1]["path_depth"] == 0
+    r2 = got[2]
+    assert r2["url_norm"] == "http://ex.com:8080/A/B?x=a=b"
+    assert r2["path_depth"] == 2
+    assert got[3]["domain"] == "localhost"  # <2 labels pass through
+    assert got[4]["domain"] == "co.com"  # NOT a.co.com: 'com' is 3ch
+    assert got[5]["domain"] == "site.co.uk"
+    assert got[5]["host"] == "deep.www.site.co.uk"
+
+
+def test_url_normalize_plan_is_shuffle_free(spark):
+    """normalize_urls must stay a per-row projection — zero Exchange
+    nodes, so at crawl scale it fuses into the scan stage."""
+    import re
+
+    from tortank_spark.weburl import normalize_urls
+
+    from tests.test_plans import plan_of
+
+    docs = spark.createDataFrame(
+        [(1, "http://a.com/x")], "doc_id long, url string"
+    )
+    plan = plan_of(normalize_urls(docs))
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 0
