@@ -1615,6 +1615,328 @@ SELECT src, dst FROM tc
 """
 
 
+def _q_sameas_canonicalize(spark, sf_dir):
+    """North-rule canonicalization stage as one verifiable query:
+    owl:sameAs co-reference edges -> connected components -> canonical
+    rewrite of the WHOLE triple table (canonicalize.sameas_edges /
+    connected_components / rewrite_canonical — the same operators
+    pipeline.py runs between extraction and materialization). Alias
+    graph: e:k sameAs e:(k DIV 3) over customer keys (ternary trees,
+    multi-hop chains, so CC genuinely iterates past direct links).
+    Facts carry an IRI object (rewritten), a literal object, and a
+    URL-SHAPED literal whose text spells an alias IRI — the oracle
+    proves literals are never rewritten (the o_kind gate). FULL value
+    oracle: recursive-CTE reachability + min-per-component + the same
+    coalesce/CASE rewrite in DuckDB."""
+    from tortank_spark.canonicalize import (
+        connected_components,
+        rewrite_canonical,
+        sameas_edges,
+    )
+    from tortank_spark.schema import TRIPLE_SCHEMA
+
+    OWL = "http://www.w3.org/2002/07/owl#sameAs"
+    cust = _t(spark, sf_dir, "customer")
+    eid = F.concat(F.lit("e:"), F.lpad(F.col("c_custkey").cast("string"), 6, "0"))
+    par = F.concat(
+        F.lit("e:"),
+        F.lpad(F.expr("c_custkey DIV 3").cast("string"), 6, "0"),
+    )
+
+    def _row(s, p, o, o_kind):
+        return [
+            F.lit("synth").alias("url"), s.alias("s"),
+            F.lit("iri").alias("s_kind"), p.alias("p"), o.alias("o"),
+            F.lit(o_kind).alias("o_kind"),
+            F.lit(None).cast("string").alias("o_datatype"),
+            F.lit(None).cast("string").alias("o_lang"),
+        ]
+
+    sa = cust.filter(F.expr("c_custkey % 3 <> 0")).select(
+        *_row(eid, F.lit(OWL), par, "iri")
+    )
+    located = cust.select(
+        *_row(eid, F.lit("p:located"),
+              F.concat(F.lit("n:"), "c_nationkey"), "iri")
+    )
+    name = cust.select(*_row(eid, F.lit("p:name"), F.col("c_name"), "literal"))
+    urltext = cust.select(*_row(eid, F.lit("p:url_text"), par, "literal"))
+    triples = spark.createDataFrame([], TRIPLE_SCHEMA).unionByName(
+        sa.unionByName(located).unionByName(name).unionByName(urltext)
+    )
+    cmap = connected_components(sameas_edges(triples))
+    return (
+        rewrite_canonical(triples, cmap)
+        .select("s", "p", "o", "o_kind")
+        .distinct()
+    )
+
+
+_ORACLE_SAMEAS_CANON = """
+WITH RECURSIVE
+base AS (
+  SELECT 'e:' || lpad(CAST(c_custkey AS VARCHAR), 6, '0') AS me,
+         'e:' || lpad(CAST(c_custkey // 3 AS VARCHAR), 6, '0') AS parent,
+         c_custkey % 3 <> 0 AS haslink, c_nationkey, c_name
+  FROM customer
+),
+sa AS (SELECT me AS src, parent AS dst FROM base WHERE haslink),
+und AS (SELECT src, dst FROM sa UNION SELECT dst, src FROM sa),
+reach(node, r) AS (
+  SELECT src, src FROM und
+  UNION
+  SELECT und.dst, reach.r FROM und JOIN reach ON und.src = reach.node
+),
+cmap AS (SELECT node AS iri, min(r) AS canonical FROM reach GROUP BY node),
+t AS (
+  SELECT me AS s, 'http://www.w3.org/2002/07/owl#sameAs' AS p,
+         parent AS o, 'iri' AS o_kind FROM base WHERE haslink
+  UNION ALL
+  SELECT me, 'p:located', 'n:' || c_nationkey, 'iri' FROM base
+  UNION ALL
+  SELECT me, 'p:name', c_name, 'literal' FROM base
+  UNION ALL
+  SELECT me, 'p:url_text', parent, 'literal' FROM base
+)
+SELECT DISTINCT
+  COALESCE(ms.canonical, t.s) AS s, t.p,
+  CASE WHEN t.o_kind = 'iri' THEN COALESCE(mo.canonical, t.o)
+       ELSE t.o END AS o,
+  t.o_kind
+FROM t
+LEFT JOIN cmap ms ON t.s = ms.iri
+LEFT JOIN cmap mo ON t.o_kind = 'iri' AND t.o = mo.iri
+"""
+
+
+_RDFS_FIXED_SCHEMA = [
+    # property hierarchy (two hops so rdfs5 genuinely closes)
+    ("p:buys", "rdfs:subPropertyOf", "p:related"),
+    ("p:ships", "rdfs:subPropertyOf", "p:related"),
+    ("p:related", "rdfs:subPropertyOf", "p:linked"),
+    ("p:located", "rdfs:subPropertyOf", "p:in"),
+    # domain/range — p:in's range reaches p:located only through the
+    # property closure (pins the schema-side domain/range folding)
+    ("p:buys", "rdfs:domain", "c:Customer"),
+    ("p:buys", "rdfs:range", "c:Part"),
+    ("p:ships", "rdfs:domain", "c:Supplier"),
+    ("p:ships", "rdfs:range", "c:Part"),
+    ("p:located", "rdfs:domain", "c:Agent"),
+    ("p:in", "rdfs:range", "c:Place"),
+    # class hierarchy (two hops so rdfs9/11 chain)
+    ("c:Customer", "rdfs:subClassOf", "c:Agent"),
+    ("c:Supplier", "rdfs:subClassOf", "c:Agent"),
+    ("c:Agent", "rdfs:subClassOf", "c:Entity"),
+    ("c:Part", "rdfs:subClassOf", "c:Artifact"),
+    ("c:Artifact", "rdfs:subClassOf", "c:Entity"),
+]
+
+
+def _q_rdfs_entail(spark, sf_dir):
+    """RDFS (ρdf) entailment materialization over a deterministic
+    supply-chain ontology + instance KG: fixed property/class
+    hierarchies, nation ⊑ region ⊑ c:Place taxonomy, and instance
+    edges cust─buys→part, supp─ships→part, cust/supp─located→nation.
+    reasoning.rdfs_entailment closes the ontology on the tiny side
+    (semi-naive, schema-only iteration) then derives every instance
+    entailment in ONE broadcast-join pass over the big table — the
+    WebPIE/ISWC'09 stratification; tortank's triple model (SURVEY
+    §2.3) would answer these only pair-at-a-time. FULL value oracle:
+    DuckDB replays both schema closures (recursive CTEs) and all four
+    instance strata."""
+    from tortank_spark.reasoning import rdfs_entailment
+
+    return rdfs_entailment(_rdfs_input_triples(spark, sf_dir))
+
+
+def _rdfs_input_triples(spark, sf_dir):
+    fixed = spark.createDataFrame(
+        _RDFS_FIXED_SCHEMA, "s string, p string, o string"
+    )
+    nation = _t(spark, sf_dir, "nation").select(
+        F.concat(F.lit("n:"), "n_nationkey").alias("s"),
+        F.lit("rdfs:subClassOf").alias("p"),
+        F.concat(F.lit("r:"), "n_regionkey").alias("o"),
+    )
+    region = _t(spark, sf_dir, "region").select(
+        F.concat(F.lit("r:"), "r_regionkey").alias("s"),
+        F.lit("rdfs:subClassOf").alias("p"),
+        F.lit("c:Place").alias("o"),
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.concat(F.lit("cust:"), "c_custkey").alias("s"),
+        F.lit("p:located").alias("p"),
+        F.concat(F.lit("n:"), "c_nationkey").alias("o"),
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.concat(F.lit("supp:"), "s_suppkey").alias("s"),
+        F.lit("p:located").alias("p"),
+        F.concat(F.lit("n:"), "s_nationkey").alias("o"),
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.expr("l_orderkey % 8 = 0")
+    )
+    ships = li.select(
+        F.concat(F.lit("supp:"), "l_suppkey").alias("s"),
+        F.lit("p:ships").alias("p"),
+        F.concat(F.lit("part:"), "l_partkey").alias("o"),
+    )
+    buys = (
+        _t(spark, sf_dir, "orders")
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.concat(F.lit("cust:"), "o_custkey").alias("s"),
+            F.lit("p:buys").alias("p"),
+            F.concat(F.lit("part:"), "l_partkey").alias("o"),
+        )
+    )
+    return (
+        fixed.unionByName(nation).unionByName(region)
+        .unionByName(cust).unionByName(supp)
+        .unionByName(ships).unionByName(buys)
+        .distinct()
+    )
+
+
+_RDFS_VOCAB = (
+    "rdf:type", "rdfs:subClassOf", "rdfs:subPropertyOf",
+    "rdfs:domain", "rdfs:range",
+)
+
+
+def _q_schema_summary(spark, sf_dir):
+    """Quotient/summary graph of the ENTAILED KG: one row per
+    (subject-class, property, object-class) with its triple count —
+    the schema-profiling pass (Campinas et al.'s "graph summary" /
+    LODStats-style structure induction) a KG pipeline materializes so
+    query planners and curators see the shape of a 10^12-triple graph
+    without scanning it. Composes two verified stages: rdfs_entailment
+    (so every instance carries its full supertype set) then an
+    inner-join rollup of fact triples against the type table on both
+    endpoints. All joins are equi-joins on instance ids; the GROUP BY
+    output is vocabulary-sized. FULL value oracle: DuckDB re-derives
+    the entailment (nested WITH RECURSIVE) and replays the rollup."""
+    from tortank_spark.reasoning import rdfs_entailment
+
+    ent = rdfs_entailment(_rdfs_input_triples(spark, sf_dir))
+    types = ent.filter(F.col("p") == "rdf:type").select(
+        F.col("s").alias("node"), F.col("o").alias("cls")
+    )
+    facts = ent.filter(~F.col("p").isin(*_RDFS_VOCAB))
+    st = types.withColumnRenamed("cls", "s_cls")
+    ot = types.withColumnRenamed("cls", "o_cls")
+    return (
+        facts.join(st, facts["s"] == st["node"]).drop("node")
+        .join(ot, facts["o"] == ot["node"]).drop("node")
+        .groupBy("s_cls", "p", "o_cls")
+        .agg(F.count("*").alias("n_triples"))
+    )
+
+
+def _oracle_schema_summary() -> str:
+    vocab = ", ".join(f"'{v}'" for v in _RDFS_VOCAB)
+    return f"""
+WITH ent AS ({_ORACLE_RDFS_ENTAIL}),
+typ AS (SELECT s AS node, o AS cls FROM ent WHERE p = 'rdf:type'),
+facts AS (SELECT s, p, o FROM ent WHERE p NOT IN ({vocab}))
+SELECT st.cls AS s_cls, facts.p, ot.cls AS o_cls,
+       count(*) AS n_triples
+FROM facts
+JOIN typ st ON facts.s = st.node
+JOIN typ ot ON facts.o = ot.node
+GROUP BY st.cls, facts.p, ot.cls
+"""
+
+
+_ORACLE_RDFS_VALUES = ",\n    ".join(
+    f"('{s}', '{p}', '{o}')" for s, p, o in _RDFS_FIXED_SCHEMA
+)
+
+_ORACLE_RDFS_ENTAIL = f"""
+WITH RECURSIVE
+fixedschema (s, p, o) AS (
+  SELECT * FROM (VALUES
+    {_ORACLE_RDFS_VALUES}) v(s, p, o)
+),
+t AS (
+  SELECT s, p, o FROM fixedschema
+  UNION
+  SELECT 'n:' || n_nationkey, 'rdfs:subClassOf', 'r:' || n_regionkey
+  FROM nation
+  UNION
+  SELECT 'r:' || r_regionkey, 'rdfs:subClassOf', 'c:Place' FROM region
+  UNION
+  SELECT 'cust:' || c_custkey, 'p:located', 'n:' || c_nationkey
+  FROM customer
+  UNION
+  SELECT 'supp:' || s_suppkey, 'p:located', 'n:' || s_nationkey
+  FROM supplier
+  UNION
+  SELECT 'supp:' || l_suppkey, 'p:ships', 'part:' || l_partkey
+  FROM lineitem WHERE l_orderkey % 8 = 0
+  UNION
+  SELECT 'cust:' || o_custkey, 'p:buys', 'part:' || l_partkey
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE l_orderkey % 8 = 0
+),
+spo AS (
+  SELECT s AS src, o AS dst FROM t WHERE p = 'rdfs:subPropertyOf'
+  UNION
+  SELECT spo.src, e.o FROM spo
+  JOIN t e ON e.p = 'rdfs:subPropertyOf' AND spo.dst = e.s
+),
+sco AS (
+  SELECT s AS src, o AS dst FROM t WHERE p = 'rdfs:subClassOf'
+  UNION
+  SELECT sco.src, e.o FROM sco
+  JOIN t e ON e.p = 'rdfs:subClassOf' AND sco.dst = e.s
+),
+dom AS (
+  SELECT s AS prop, o AS cls FROM t WHERE p = 'rdfs:domain'
+  UNION
+  SELECT spo.src, d.o FROM spo
+  JOIN t d ON d.p = 'rdfs:domain' AND spo.dst = d.s
+),
+ran AS (
+  SELECT s AS prop, o AS cls FROM t WHERE p = 'rdfs:range'
+  UNION
+  SELECT spo.src, r.o FROM spo
+  JOIN t r ON r.p = 'rdfs:range' AND spo.dst = r.s
+),
+d7 AS (
+  SELECT t.s AS s, spo.dst AS p, t.o AS o FROM t
+  JOIN spo ON t.p = spo.src
+),
+pext AS (SELECT s, p, o FROM t UNION ALL SELECT s, p, o FROM d7),
+d2 AS (
+  SELECT pext.s AS s, 'rdf:type' AS p, dom.cls AS o FROM pext
+  JOIN dom ON pext.p = dom.prop
+),
+d3 AS (
+  SELECT pext.o AS s, 'rdf:type' AS p, ran.cls AS o FROM pext
+  JOIN ran ON pext.p = ran.prop
+),
+types AS (
+  SELECT s, p, o FROM t WHERE p = 'rdf:type'
+  UNION ALL SELECT s, p, o FROM d2
+  UNION ALL SELECT s, p, o FROM d3
+),
+d9 AS (
+  SELECT types.s AS s, 'rdf:type' AS p, sco.dst AS o FROM types
+  JOIN sco ON types.o = sco.src
+)
+SELECT DISTINCT s, p, o FROM (
+  SELECT s, p, o FROM t
+  UNION ALL SELECT s, p, o FROM d7
+  UNION ALL SELECT s, p, o FROM d2
+  UNION ALL SELECT s, p, o FROM d3
+  UNION ALL SELECT s, p, o FROM d9
+  UNION ALL SELECT src, 'rdfs:subPropertyOf', dst FROM spo
+  UNION ALL SELECT src, 'rdfs:subClassOf', dst FROM sco
+)
+"""
+
+
 def _q_pagerank(spark, sf_dir):
     """Entity importance over the directed supply KG: customer ->
     part edges (from co-occurrence in an order) and part -> supplier
@@ -2398,6 +2720,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triangles": _q_triangles,
         "kg_pagerank": _q_pagerank,
         "kg_transitive_closure": _q_transitive_closure,
+        "kg_rdfs_entail": _q_rdfs_entail,
+        "kg_schema_summary": _q_schema_summary,
+        "kg_sameas_canonicalize": _q_sameas_canonicalize,
         "kg_entity_link": _q_entity_link,
         "kg_entity_cooccur": _q_entity_cooccur,
         "r1_pattern_filter": _q_pattern_filter,
@@ -2489,6 +2814,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_triangles": _ORACLE_TRIANGLES,
         "kg_pagerank": _ORACLE_PAGERANK,
         "kg_transitive_closure": _ORACLE_TRANSITIVE_CLOSURE,
+        "kg_rdfs_entail": _ORACLE_RDFS_ENTAIL,
+        "kg_schema_summary": _oracle_schema_summary(),
+        "kg_sameas_canonicalize": _ORACLE_SAMEAS_CANON,
         "kg_entity_link": f"""
             WITH alias_dict(alias, entity_iri, prior) AS (VALUES {_ALIAS_VALUES}),
             toks AS (
