@@ -590,6 +590,51 @@ def _q_salient_terms(spark, sf_dir):
     return salient_terms(_t(spark, sf_dir, "documents"))
 
 
+_TFIDF_TERMS = ("spark", "vector", "merge")
+
+
+def _q_tfidf_topk(spark, sf_dir):
+    """Ranked retrieval: top-50 documents for a fixed bag-of-terms
+    query by scaled-integer tf-idf (textops.tfidf_topk — idf_scaled =
+    (1e6 * N) DIV df in BIGINT, so the ranking is engine-exact where
+    libm ln() tails are not). Only query-term tokens are ever exploded
+    (higher-order filter inside the split array) and the global top-k
+    is a distributed TakeOrderedAndProject, never a corpus-wide
+    window. FULL value oracle."""
+    from tortank_spark.textops import tfidf_topk
+
+    return tfidf_topk(
+        _t(spark, sf_dir, "documents"), list(_TFIDF_TERMS), k=50
+    )
+
+
+def _oracle_tfidf_topk() -> str:
+    terms = ", ".join(f"'{t}'" for t in _TFIDF_TERMS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t.term AS term
+  FROM documents,
+       unnest(list_filter(regexp_split_to_array(lower(trim(text)),
+                                                '\\s+'),
+                          t -> t IN ({terms}))) AS t(term)
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id,
+         SUM(tf.tf * ((1000000 * n.n_docs) // dfq.df)) AS score
+  FROM tf JOIN dfq USING (term) CROSS JOIN n
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, score,
+       row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT 50
+"""
+
+
 def _q_filter_decision(spark, sf_dir):
     """The corpus-cleaning gate: keep/drop + first-failing-rule reason
     (too_short -> low_stopword -> lang_und) per document
@@ -714,6 +759,7 @@ def _text_oracles() -> dict[str, str]:
         "text_quality": quality,
         "text_lang_id": lang_id,
         "text_salient_terms": salient,
+        "text_tfidf_topk": _oracle_tfidf_topk(),
         "text_filter_decision": decision,
     }
 
@@ -2748,6 +2794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_sample_stratified": _q_stratified_sample,
         "text_quality": _q_quality,
         "text_salient_terms": _q_salient_terms,
+        "text_tfidf_topk": _q_tfidf_topk,
         "text_filter_decision": _q_filter_decision,
         "text_redact_pii": _q_redact_pii,
         "text_repetition": _q_repetition,

@@ -1726,3 +1726,51 @@ def test_url_normalize_plan_is_shuffle_free(spark):
     )
     plan = plan_of(normalize_urls(docs))
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 0
+
+
+def test_tfidf_topk_integer_ranking(spark):
+    """Scaled-integer tf-idf: rarer terms weigh more via
+    (1e6*N) DIV df; absent query terms contribute nothing; docs with
+    no query term never appear; ties break by doc_id ASC."""
+    from tortank_spark.textops import tfidf_topk
+
+    docs = spark.createDataFrame(
+        [(1, "apple apple banana"),      # 2*idf(apple) + idf(banana)
+         (2, "APPLE banana banana"),     # case-folds: apple + 2*banana
+         (3, "banana"),
+         (4, "cherry cherry cherry")],   # no query term -> excluded
+        "doc_id long, text string",
+    )
+    out = tfidf_topk(docs, ["apple", "Banana", "zzz_absent"], k=10)
+    rows = {r["doc_id"]: (r["score"], r["rank"]) for r in out.collect()}
+    # N=4; df(apple)=2 -> idf 2_000_000; df(banana)=3 -> idf 1_333_333
+    ia, ib = (1_000_000 * 4) // 2, (1_000_000 * 4) // 3
+    assert rows[1] == (2 * ia + ib, 1)
+    assert rows[2] == (ia + 2 * ib, 2)
+    assert rows[3] == (ib, 3)
+    assert 4 not in rows and len(rows) == 3
+
+
+def test_tfidf_topk_k_cap_and_tie(spark):
+    from tortank_spark.textops import tfidf_topk
+
+    docs = spark.createDataFrame(
+        [(i, "apple") for i in range(10, 0, -1)], "doc_id long, text string"
+    )
+    rows = tfidf_topk(docs, ["apple"], k=3).collect()
+    # identical scores -> doc_id ASC decides membership and rank
+    assert [(r["doc_id"], r["rank"]) for r in rows] == [(1, 1), (2, 2), (3, 3)]
+
+
+def test_tfidf_topk_plan_is_distributed_topk(spark):
+    """The corpus-wide ordering must be TakeOrderedAndProject (partial
+    per-partition top-k), never a single-partition global Sort/Window
+    over the scored corpus."""
+    from tortank_spark.textops import tfidf_topk
+
+    docs = spark.createDataFrame(
+        [(1, "apple banana")], "doc_id long, text string"
+    )
+    out = tfidf_topk(docs, ["apple"], k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

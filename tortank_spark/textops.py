@@ -536,6 +536,56 @@ def salient_terms(
     )
 
 
+def tfidf_topk(
+    df: DataFrame, terms: list[str], k: int = 50,
+    text_col: str = "text", id_col: str = "doc_id",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Ranked retrieval: top-k documents for a bag-of-terms query by
+    tf-idf, ALL arithmetic in scaled integers so the ranking is
+    engine-exact (idf_scaled = (scale * N) DIV df — the same
+    monotone-in-1/df weighting as ln(N/df) for ranking purposes, but
+    float-free: libm log tails differ between engines and a value-hash
+    oracle could not pin them; the integer-PageRank/salient-terms
+    precedent). Returns (id, score, rank), rank = row_number
+    over the total order (score DESC, id ASC).
+
+    Scale: the term filter runs INSIDE the split array (higher-order
+    ``filter``) so only query-term tokens are ever exploded — for a
+    q-term query the exploded relation is O(total query-term
+    occurrences), not O(corpus tokens). Then two map-side-partial
+    aggregates, a broadcast join against the q-row df table, and a
+    distributed TakeOrderedAndProject top-k — the global sort the
+    row_number window would need happens on k rows, never the corpus."""
+    from pyspark.sql import Window
+
+    terms = [t.lower() for t in terms]
+    toks = df.select(
+        id_col,
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col(text_col))), _WS),
+                lambda t: t.isin(*terms),
+            )
+        ).alias("term"),
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = df.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "idf_scaled", F.expr(f"(CAST({scale} AS BIGINT) * n_docs) DIV df")
+        )
+        .groupBy(id_col)
+        .agg(F.sum(F.col("tf") * F.col("idf_scaled")).alias("score"))
+    )
+    top = scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+    w = Window.orderBy(F.desc("score"), F.asc(id_col))
+    return top.withColumn("rank", F.row_number().over(w))
+
+
 def filter_decision(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     min_tokens: int = 12, min_stopword_ratio: float = 0.005,
