@@ -1983,6 +1983,50 @@ SELECT DISTINCT s, p, o FROM (
 """
 
 
+def _q_bfs_dist(spark, sf_dir):
+    """Minimum hop distance (<= 6) from a seed entity set over the
+    UNDIRECTED part co-purchase graph (parts sharing an order are
+    adjacent — cycles, hubs, and varied eccentricities, so min-dist
+    genuinely differs from first-path-found). graph.bfs_distances:
+    frontier-sized rounds, one job each, anti-join against visited.
+    FULL value oracle: DuckDB recursive CTE explores (node, d <= 6)
+    pairs and takes min(d) per node — identical semantics."""
+    from tortank_spark.graph import bfs_distances
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pairs = li.distinct()
+    l1 = pairs.select("l_orderkey", F.col("l_partkey").alias("src"))
+    l2 = pairs.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    e = l1.join(l2, "l_orderkey").filter(
+        F.col("src") != F.col("dst")
+    ).select("src", "dst")
+    seeds = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < 10)
+        .select(F.col("p_partkey").alias("node"))
+    )
+    return bfs_distances(e, seeds, max_depth=6)
+
+
+_ORACLE_BFS_DIST = """
+WITH RECURSIVE pairs AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+e AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst
+  FROM pairs a JOIN pairs b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey <> b.l_partkey
+),
+walk(node, d) AS (
+  SELECT p_partkey, 0 FROM part WHERE p_partkey < 10
+  UNION
+  SELECT e.dst, walk.d + 1 FROM e JOIN walk ON e.src = walk.node
+  WHERE walk.d < 6
+)
+SELECT node, CAST(min(d) AS BIGINT) AS dist FROM walk GROUP BY node
+"""
+
+
 def _q_pagerank(spark, sf_dir):
     """Entity importance over the directed supply KG: customer ->
     part edges (from co-occurrence in an order) and part -> supplier
@@ -2766,6 +2810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triangles": _q_triangles,
         "kg_pagerank": _q_pagerank,
         "kg_transitive_closure": _q_transitive_closure,
+        "kg_bfs_dist": _q_bfs_dist,
         "kg_rdfs_entail": _q_rdfs_entail,
         "kg_schema_summary": _q_schema_summary,
         "kg_sameas_canonicalize": _q_sameas_canonicalize,
@@ -2861,6 +2906,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_triangles": _ORACLE_TRIANGLES,
         "kg_pagerank": _ORACLE_PAGERANK,
         "kg_transitive_closure": _ORACLE_TRANSITIVE_CLOSURE,
+        "kg_bfs_dist": _ORACLE_BFS_DIST,
         "kg_rdfs_entail": _ORACLE_RDFS_ENTAIL,
         "kg_schema_summary": _oracle_schema_summary(),
         "kg_sameas_canonicalize": _ORACLE_SAMEAS_CANON,

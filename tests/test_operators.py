@@ -1774,3 +1774,35 @@ def test_tfidf_topk_plan_is_distributed_topk(spark):
     out = tfidf_topk(docs, ["apple"], k=5)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_bfs_distances_min_hop(spark):
+    """Min-dist over a graph with a shortcut: seed s reaches d both
+    via a 3-hop chain and a direct edge -> dist 1 wins; depth cap
+    excludes far nodes; isolated seeds still emit dist 0."""
+    from tortank_spark.graph import bfs_distances
+
+    e = spark.createDataFrame(
+        [("s", "a"), ("a", "b"), ("b", "d"), ("s", "d"),
+         ("d", "e"), ("e", "f"), ("f", "g")],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("s",), ("lonely",)], "node string")
+    got = {r["node"]: r["dist"]
+           for r in bfs_distances(e, seeds, max_depth=3).collect()}
+    assert got == {"s": 0, "lonely": 0, "a": 1, "d": 1,
+                   "b": 2, "e": 2, "f": 3}
+
+
+def test_bfs_distances_cycle_and_multiseed(spark):
+    from tortank_spark.graph import bfs_distances
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("x", "c")],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("a",), ("x",)], "node string")
+    got = {r["node"]: r["dist"]
+           for r in bfs_distances(e, seeds, max_depth=6).collect()}
+    # c is 1 from x (beats 2 from a); cycle terminates
+    assert got == {"a": 0, "x": 0, "b": 1, "c": 1}

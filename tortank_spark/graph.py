@@ -206,6 +206,57 @@ def transitive_closure(
         e.unpersist()
 
 
+def bfs_distances(
+    edges: DataFrame, seeds: DataFrame,
+    src: str = "src", dst: str = "dst", node: str = "node",
+    max_depth: int = 6,
+) -> DataFrame:
+    """Minimum hop distance from a seed SET to every reachable node
+    within ``max_depth`` -> (node, dist). The KG neighborhood/radius
+    primitive (provenance blast-radius, entity context windows for
+    linking, k-hop type propagation); tortank's pattern API walks one
+    hop per list_statements call (SURVEY §2.3 R1) — a batch engine
+    runs the whole frontier per round.
+
+    Classic frontier BFS, one Spark job per round: the join input is
+    ONLY the current frontier (nodes first reached last round — their
+    first visit IS their minimal distance, so no re-expansion and no
+    min-recomputation), extended one edge, anti-joined against the
+    visited set. Per-round work is frontier-sized; lineage truncated
+    with lazy localCheckpoint; every join an equi-join on vertex ids
+    (AQE skew-splittable). Seeds are emitted at dist 0 whether or not
+    they touch an edge. Directed by construction — pre-union reversed
+    edges for undirected graphs."""
+    e = (
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .filter(F.col("_s").isNotNull() & F.col("_d").isNotNull())
+        .distinct()
+        .persist()
+    )
+    try:
+        frontier = seeds.select(F.col(node).alias("node")).distinct()
+        visited = frontier.withColumn(
+            "dist", F.lit(0).cast("long")
+        ).localCheckpoint(eager=False)
+        for depth in range(1, max_depth + 1):
+            nxt = (
+                frontier.join(e, frontier["node"] == e["_s"])
+                .select(F.col("_d").alias("node"))
+                .distinct()
+                .join(visited.select("node"), "node", "left_anti")
+                .localCheckpoint(eager=False)
+            )
+            if nxt.agg(F.count("*")).collect()[0][0] == 0:
+                break
+            visited = visited.unionByName(
+                nxt.withColumn("dist", F.lit(depth).cast("long"))
+            ).localCheckpoint(eager=False)
+            frontier = nxt
+        return visited
+    finally:
+        e.unpersist()
+
+
 def canonical_edges(edges: DataFrame, src: str = "src",
                     dst: str = "dst") -> DataFrame:
     """Distinct undirected edges as (a, b) with a < b; self-loops
