@@ -1983,6 +1983,64 @@ SELECT DISTINCT s, p, o FROM (
 """
 
 
+def _q_negative_sample(spark, sf_dir):
+    """KG-embedding training pairs over the customer-buys-part fact
+    set: positives (label 1) + 2 corrupted-object negatives per fact
+    (label 0), corruption = multiplicative hash of (s,p,o,j) mod
+    |entities| — NO RNG state, so the draw is a pure function of the
+    data and the DuckDB oracle replays every sample (sampling.
+    negative_samples, Bordes et al. 2013 'filtered' setting: generated
+    negatives that are true facts are anti-joined away). FULL value
+    oracle."""
+    from tortank_spark.sampling import negative_samples
+
+    n_parts = _t(spark, sf_dir, "part").count()
+    li = _t(spark, sf_dir, "lineitem").filter(F.expr("l_orderkey % 16 = 0"))
+    facts = (
+        _t(spark, sf_dir, "orders")
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.col("o_custkey").alias("s_id"),
+            F.lit(0).cast("bigint").alias("p_id"),
+            F.col("l_partkey").alias("o_id"),
+        )
+    )
+    return negative_samples(facts, n_entities=n_parts, k=2)
+
+
+_ORACLE_NEGATIVE_SAMPLE = """
+WITH n AS (SELECT count(*) AS ne FROM part),
+pos AS (
+  SELECT DISTINCT o_custkey AS s_id, CAST(0 AS BIGINT) AS p_id,
+         l_partkey AS o_id
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE l_orderkey % 16 = 0
+),
+js AS (SELECT CAST(1 AS BIGINT) AS j UNION ALL SELECT 2),
+raw AS (
+  SELECT s_id, p_id, o_id,
+         ((s_id % 2147483647) * 1103515245
+          + (p_id % 2147483647) * 747796405
+          + j * 62089911
+          + (o_id % 2147483647) * 104729) % n.ne AS i0
+  FROM pos CROSS JOIN js CROSS JOIN n
+),
+neg AS (
+  SELECT DISTINCT s_id, p_id,
+         CASE WHEN i0 = o_id THEN (i0 + 1) % (SELECT ne FROM n)
+              ELSE i0 END AS o_id
+  FROM raw
+),
+negf AS (
+  SELECT s_id, p_id, o_id FROM neg
+  ANTI JOIN pos USING (s_id, p_id, o_id)
+)
+SELECT s_id, p_id, o_id, 1 AS label FROM pos
+UNION ALL
+SELECT s_id, p_id, o_id, 0 AS label FROM negf
+"""
+
+
 def _q_bfs_dist(spark, sf_dir):
     """Minimum hop distance (<= 6) from a seed entity set over the
     UNDIRECTED part co-purchase graph (parts sharing an order are
@@ -2811,6 +2869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank": _q_pagerank,
         "kg_transitive_closure": _q_transitive_closure,
         "kg_bfs_dist": _q_bfs_dist,
+        "kg_negative_sample": _q_negative_sample,
         "kg_rdfs_entail": _q_rdfs_entail,
         "kg_schema_summary": _q_schema_summary,
         "kg_sameas_canonicalize": _q_sameas_canonicalize,
@@ -2907,6 +2966,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_pagerank": _ORACLE_PAGERANK,
         "kg_transitive_closure": _ORACLE_TRANSITIVE_CLOSURE,
         "kg_bfs_dist": _ORACLE_BFS_DIST,
+        "kg_negative_sample": _ORACLE_NEGATIVE_SAMPLE,
         "kg_rdfs_entail": _ORACLE_RDFS_ENTAIL,
         "kg_schema_summary": _oracle_schema_summary(),
         "kg_sameas_canonicalize": _ORACLE_SAMEAS_CANON,

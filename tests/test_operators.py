@@ -1806,3 +1806,64 @@ def test_bfs_distances_cycle_and_multiseed(spark):
            for r in bfs_distances(e, seeds, max_depth=6).collect()}
     # c is 1 from x (beats 2 from a); cycle terminates
     assert got == {"a": 0, "x": 0, "b": 1, "c": 1}
+
+
+def test_negative_samples_exact_replay_and_filter(spark):
+    """Every negative is the exact multiplicative hash the docstring
+    promises (Python replay), collisions with the true object bump by
+    one, and true facts never appear as label-0 rows."""
+    from tortank_spark.sampling import (
+        _NEG_A, _NEG_B, _NEG_C, _NEG_D, _NEG_M, negative_samples,
+    )
+
+    n = 7
+    facts = [(1, 0, 3), (2, 0, 5), (4, 1, 0)]
+    df = spark.createDataFrame(
+        facts, "s_id bigint, p_id bigint, o_id bigint"
+    )
+    out = negative_samples(df, n_entities=n, k=2).collect()
+    pos = {(r["s_id"], r["p_id"], r["o_id"]) for r in out if r["label"] == 1}
+    neg = {(r["s_id"], r["p_id"], r["o_id"]) for r in out if r["label"] == 0}
+    assert pos == set(facts)
+    assert not (neg & pos)
+
+    expect = set()
+    for (s, p, o) in facts:
+        for j in (1, 2):
+            i0 = ((s % _NEG_M) * _NEG_A + (p % _NEG_M) * _NEG_B
+                  + j * _NEG_C + (o % _NEG_M) * _NEG_D) % n
+            if i0 == o:
+                i0 = (i0 + 1) % n
+            expect.add((s, p, i0))
+    assert neg == expect - pos
+    # pure function of the data: a rerun is bit-identical
+    again = negative_samples(df, n_entities=n, k=2).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_negative_samples_collision_bump(spark):
+    """A fact engineered so the hash lands ON the true object must
+    bump to (i+1) % n, never emit the positive as a negative."""
+    from tortank_spark.sampling import (
+        _NEG_A, _NEG_C, _NEG_D, _NEG_M, negative_samples,
+    )
+
+    n = 5
+    # find (s, o) with hash collision at j=1
+    found = None
+    for s in range(1, 200):
+        for o in range(n):
+            i0 = ((s % _NEG_M) * _NEG_A + _NEG_C + (o % _NEG_M) * _NEG_D) % n
+            if i0 == o:
+                found = (s, o)
+                break
+        if found:
+            break
+    s, o = found
+    df = spark.createDataFrame(
+        [(s, 0, o)], "s_id bigint, p_id bigint, o_id bigint"
+    )
+    rows = negative_samples(df, n_entities=n, k=1,
+                            filter_false_negatives=False).collect()
+    negs = [(r["o_id"]) for r in rows if r["label"] == 0]
+    assert negs == [(o + 1) % n]

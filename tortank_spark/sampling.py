@@ -124,3 +124,71 @@ def khop_sample(
     return s1.join(s2, "n1", "left").select(
         "root", "n1", "r1", "n2", "r2"
     )
+
+
+# multiplicative-hash constants for negative corruption (Knuth-style;
+# chosen so every intermediate term stays far below 2^63 once inputs
+# are reduced mod 2^31-1 — ANSI-mode BIGINT arithmetic never wraps)
+_NEG_M = 2_147_483_647
+_NEG_A = 1_103_515_245  # subject multiplier
+_NEG_B = 747_796_405    # predicate multiplier
+_NEG_C = 62_089_911     # sample-index multiplier
+_NEG_D = 104_729        # object multiplier
+
+
+def negative_samples(
+    facts: DataFrame, n_entities: int, k: int = 2,
+    s_col: str = "s_id", p_col: str = "p_id", o_col: str = "o_id",
+    filter_false_negatives: bool = True,
+) -> DataFrame:
+    """KG-embedding training pairs: every positive fact plus ``k``
+    corrupted-object negatives per fact -> (s, p, o, label) — the
+    TransE/DistMult-style sampling step a training-data pipeline
+    materializes ahead of embedding training (Bordes et al., NeurIPS
+    2013 corrupt-one-side scheme; object-side here, run it again on a
+    swapped view for subject-side).
+
+    Entities must be dense integer ids 0..n_entities-1 (the standard
+    KGE vocabulary index encoding, built upstream). Corruption is a pure
+    function of the row — NO RNG state: the replacement id is a
+    multiplicative hash of (s, p, o, j) mod n_entities, bumped by one
+    when it collides with the true object. Deterministic across
+    reruns, partitionings, AND engines (plain BIGINT arithmetic, so
+    the DuckDB oracle replays every sample — a seeded RNG never
+    could). With ``filter_false_negatives`` the generated negatives
+    are anti-joined against the positives (corruptions that happen to
+    be true facts are dropped — the 'filtered' setting of the KGE
+    literature, one hash-partitioned anti-join).
+
+    Scale: one narrow projection per sample index unioned (k is 1-10,
+    never data-sized), one optional anti-join on (s,p,o); output
+    ~(k+1)x the fact table, written once, read every epoch."""
+    spark = facts.sparkSession
+    s, p, o = F.col(s_col), F.col(p_col), F.col(o_col)
+    pos = facts.select(
+        s.alias("s_id"), p.alias("p_id"), o.alias("o_id")
+    ).distinct()
+    js = spark.range(1, k + 1).select(F.col("id").alias("j"))
+    idx0 = (
+        F.pmod(s, F.lit(_NEG_M)) * _NEG_A
+        + F.pmod(p, F.lit(_NEG_M)) * _NEG_B
+        + F.col("j") * _NEG_C
+        + F.pmod(o, F.lit(_NEG_M)) * _NEG_D
+    ) % n_entities
+    neg = (
+        pos.crossJoin(F.broadcast(js))
+        .withColumn("_i", idx0)
+        .withColumn(
+            "o_neg",
+            F.when(F.col("_i") == F.col("o_id"),
+                   (F.col("_i") + 1) % n_entities)
+            .otherwise(F.col("_i")),
+        )
+        .select("s_id", "p_id", F.col("o_neg").alias("o_id"))
+        .distinct()
+    )
+    if filter_false_negatives:
+        neg = neg.join(pos, ["s_id", "p_id", "o_id"], "left_anti")
+    return pos.withColumn("label", F.lit(1)).unionByName(
+        neg.withColumn("label", F.lit(0))
+    )
