@@ -2112,6 +2112,87 @@ def _q_pagerank(spark, sf_dir):
     return pagerank(cp.unionByName(ps))
 
 
+def _q_hits(spark, sf_dir):
+    """HITS hubs/authorities over the directed supply KG (same edge
+    set as kg_pagerank) — 5 rounds, all arithmetic in integer-L1-
+    normalized scaled BIGINT/DECIMAL (graph.hits), so the DuckDB
+    oracle replays every half-round bit-for-bit in HUGEINT. FULL
+    value oracle: 5 unrolled auth+hub CTE pairs."""
+    from tortank_spark.graph import hits
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cp = orders.join(
+        li, orders["o_orderkey"] == li["l_orderkey"]
+    ).select(
+        F.concat(F.lit("c:"), F.col("o_custkey")).alias("src"),
+        F.concat(F.lit("p:"), F.col("l_partkey")).alias("dst"),
+    )
+    ps = li.select(
+        F.concat(F.lit("p:"), F.col("l_partkey")).alias("src"),
+        F.concat(F.lit("s:"), F.col("l_suppkey")).alias("dst"),
+    )
+    return hits(cp.unionByName(ps), iterations=5)
+
+
+def _hits_oracle_sql(iterations: int = 5, scale: int = 10 ** 9) -> str:
+    """Unrolled integer HITS (recursive CTEs cannot aggregate over the
+    recursive relation; the round count is fixed, the unrolling is
+    mechanical — the pagerank-oracle precedent). Sums and the
+    raw*scale product run in HUGEINT, matching graph.hits's
+    DECIMAL(38,0) step exactly.
+
+    The L1 total is taken with ``SUM(raw) OVER ()`` rather than a
+    scalar subquery so every CTE in the chain is referenced exactly
+    once: DuckDB inlines non-materialized CTEs, and a double
+    reference per half-round would expand the 10-deep chain 2^10
+    times (observed as "Too many open files" from thousands of
+    duplicated parquet scans)."""
+    rounds = []
+    prev = "h0"
+    for r in range(1, iterations + 1):
+        for tag, ekey, nkey, src_scores in (
+            ("a", "src", "dst", prev),
+            ("h", "dst", "src", f"a{r}"),
+        ):
+            rounds.append(f"""
+{tag}{r} AS (
+  SELECT node,
+         CAST(raw * {scale} // greatest(SUM(raw) OVER (), 1)
+              AS BIGINT) AS v
+  FROM (
+    SELECT n.node, CAST(COALESCE(s.s, 0) AS HUGEINT) AS raw
+    FROM nodes n LEFT JOIN (
+      SELECT e.{nkey} AS k, SUM(p.v) AS s
+      FROM e JOIN {src_scores} p ON e.{ekey} = p.node GROUP BY e.{nkey}
+    ) s ON n.node = s.k
+  )
+)""")
+        prev = f"h{r}"
+    return f"""
+WITH e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT 'c:' || o_custkey AS src, 'p:' || l_partkey AS dst
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    UNION ALL
+    SELECT 'p:' || l_partkey, 's:' || l_suppkey FROM lineitem
+  )
+),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+h0 AS (SELECT node, CAST({scale} AS BIGINT) AS v FROM nodes),
+{','.join(rounds)}
+SELECT n.node, a.v AS auth, h.v AS hub
+FROM nodes n
+JOIN a{iterations} a ON n.node = a.node
+JOIN h{iterations} h ON n.node = h.node
+"""
+
+
+_ORACLE_HITS = _hits_oracle_sql(5)
+
+
 def _pagerank_oracle_sql(iterations: int = 10) -> str:
     """Unrolled fixed-iteration integer PageRank as one DuckDB query
     (recursive CTEs disallow aggregation over the recursive relation,
@@ -2867,6 +2948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_connected_components": _q_connected_components,
         "kg_triangles": _q_triangles,
         "kg_pagerank": _q_pagerank,
+        "kg_hits": _q_hits,
         "kg_transitive_closure": _q_transitive_closure,
         "kg_bfs_dist": _q_bfs_dist,
         "kg_negative_sample": _q_negative_sample,
@@ -2964,6 +3046,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_connected_components": _ORACLE_CC,
         "kg_triangles": _ORACLE_TRIANGLES,
         "kg_pagerank": _ORACLE_PAGERANK,
+        "kg_hits": _ORACLE_HITS,
         "kg_transitive_closure": _ORACLE_TRANSITIVE_CLOSURE,
         "kg_bfs_dist": _ORACLE_BFS_DIST,
         "kg_negative_sample": _ORACLE_NEGATIVE_SAMPLE,

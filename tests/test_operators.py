@@ -1867,3 +1867,40 @@ def test_negative_samples_collision_bump(spark):
                             filter_false_negatives=False).collect()
     negs = [(r["o_id"]) for r in rows if r["label"] == 0]
     assert negs == [(o + 1) % n]
+
+
+def test_hits_integer_exact_replay(spark):
+    """5 rounds of integer-L1-normalized HITS replayed exactly in
+    Python; rerun-stable; decimal path exercised via a hubby star
+    (raw * scale would overflow int64 without it)."""
+    from tortank_spark.graph import hits
+
+    edges = [("h1", f"a{i}") for i in range(12)] + [
+        ("h2", "a0"), ("h2", "a1"), ("a0", "h1")
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: (r["auth"], r["hub"])
+           for r in hits(df, iterations=5).collect()}
+
+    SCALE = 10 ** 9
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    hub = {n: SCALE for n in nodes}
+
+    def half(scores, fan_in):
+        raw = {n: 0 for n in nodes}
+        for s, d in edges:
+            if fan_in:
+                raw[d] += scores[s]
+            else:
+                raw[s] += scores[d]
+        t = max(sum(raw.values()), 1)
+        return {n: raw[n] * SCALE // t for n in nodes}
+
+    for _ in range(5):
+        auth = half(hub, True)
+        hub = half(auth, False)
+    assert got == {n: (auth[n], hub[n]) for n in nodes}
+    assert got["h1"][1] > got["h2"][1] > 0  # bigger hub wins
+    again = {r["node"]: (r["auth"], r["hub"])
+             for r in hits(df, iterations=5).collect()}
+    assert got == again

@@ -117,6 +117,89 @@ def pagerank(
         nodes.unpersist()
 
 
+def hits(
+    edges: DataFrame, src: str = "src", dst: str = "dst",
+    iterations: int = 5, scale: int = 10 ** 9,
+) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg 1999) -> (node, auth, hub),
+    ALL arithmetic in scaled BIGINT — link analysis for web KGs:
+    authorities are the pages/entities good sources point at, hubs
+    the good pointers; complements PageRank's single importance axis.
+
+    Integer-exact variant (the pagerank precedent, same rationale —
+    float L2 normalization could never value-hash): each half-round
+    computes raw fan-in sums then L1-normalizes in integers,
+    v' = v_raw * scale DIV max(sum(v_raw), 1), so scores sum to
+    ~``scale`` and every round is associative, rerun-stable, and
+    engine-replayable. The normalizer rides in as a broadcast 1-row
+    cross join — no per-round driver sync; lazy localCheckpoint
+    truncates lineage per round (one chained job, fixed round count).
+
+    Scale shape: per round, two equi-joins against the pre-partitioned
+    edge table (shuffled ZERO times per round) + two fan-in aggregates
+    + two 1-row total aggregates; only score-sized data moves."""
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+        .repartition("src")
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .repartition("node")
+        .persist()
+    )
+    try:
+        hub = nodes.select(
+            "node", F.lit(scale).cast("long").alias("v")
+        ).localCheckpoint(eager=False)
+
+        def _half(scores, edge_key, node_key):
+            """fan-in sum of `scores` across edges oriented
+            (edge_key -> node_key), then integer L1 normalization."""
+            fan = (
+                e.join(scores, e[edge_key] == scores["node"])
+                .groupBy(node_key)
+                .agg(F.sum("v").alias("s"))
+            )
+            raw = nodes.join(
+                fan, nodes["node"] == fan[node_key], "left"
+            ).select(
+                "node", F.coalesce("s", F.lit(0)).cast("long").alias("raw")
+            )
+            total = raw.agg(
+                F.greatest(F.sum("raw"), F.lit(1)).alias("t")
+            )
+            # raw can reach indeg_max * scale, so raw * scale
+            # overflows BIGINT on any hubby graph — the product runs
+            # in exact DECIMAL(38,0) (the quotient is <= scale because
+            # raw <= t, so it always fits back in a long; the DuckDB
+            # oracle twin uses HUGEINT for the same step)
+            return raw.crossJoin(F.broadcast(total)).select(
+                "node",
+                F.expr(
+                    f"CAST((CAST(raw AS DECIMAL(38,0)) * {scale})"
+                    f" DIV t AS BIGINT)"
+                ).alias("v"),
+            )
+
+        for _ in range(iterations):
+            auth = _half(hub, "src", "dst").localCheckpoint(eager=False)
+            hub = _half(auth, "dst", "src").localCheckpoint(eager=False)
+        out = nodes.join(
+            auth.select(F.col("node"), F.col("v").alias("auth")), "node"
+        ).join(
+            hub.select(F.col("node"), F.col("v").alias("hub")), "node"
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        e.unpersist()
+        nodes.unpersist()
+
+
 def transitive_closure(
     edges: DataFrame, src: str = "src", dst: str = "dst",
     max_rounds: int = 64, doubling: bool = False,
