@@ -2193,6 +2193,82 @@ JOIN h{iterations} h ON n.node = h.node
 _ORACLE_HITS = _hits_oracle_sql(5)
 
 
+def _q_random_walks(spark, sf_dir):
+    """DeepWalk corpus over the undirected part co-purchase graph
+    (same edge derivation as kg_bfs_dist): 2 deterministic walks of
+    up to 4 steps from every part, adjacency degree-capped at 16 by
+    md5 rank (graph.random_walks — hash-chosen steps, NO RNG). FULL
+    value oracle: DuckDB replays the capped adjacency and every
+    unrolled step; MATERIALIZED CTEs keep the chain single-eval."""
+    from tortank_spark.graph import random_walks
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pairs = li.distinct()
+    l1 = pairs.select("l_orderkey", F.col("l_partkey").alias("src"))
+    l2 = pairs.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    e = l1.join(l2, "l_orderkey").filter(
+        F.col("src") != F.col("dst")
+    ).select("src", "dst")
+    return random_walks(e, walk_length=4, walks_per_node=2,
+                        max_degree=16)
+
+
+def _walks_oracle_sql(walk_length: int = 4, walks_per_node: int = 2,
+                      max_degree: int = 16) -> str:
+    """Unrolled deterministic-walk replay. Every CTE is MATERIALIZED:
+    step t is referenced both by step t+1 and by the final union, and
+    DuckDB's default CTE inlining would re-expand the whole prefix
+    chain at each reference (the kg_hits lesson — exponential scans)."""
+    M, A, B, C, D = 2147483647, 1103515245, 747796405, 62089911, 104729
+    steps, names = [], ["w0"]
+    for t in range(1, walk_length + 1):
+        steps.append(f"""
+w{t} AS MATERIALIZED (
+  SELECT s.start, s.walk, CAST({t} AS BIGINT) AS step, a.dst AS cur
+  FROM w{t - 1} s
+  JOIN deg d ON s.cur = d.src
+  JOIN adj a ON a.src = s.cur
+   AND a.idx = ((s.start % {M}) * {A} + s.walk * {B}
+                + {t} * {C} + (s.cur % {M}) * {D}) % d.cdeg
+)""")
+        names.append(f"w{t}")
+    union = "\nUNION ALL\n".join(f"SELECT * FROM {n}" for n in names)
+    walks = " UNION ALL ".join(
+        f"SELECT CAST({w} AS BIGINT) AS walk"
+        for w in range(1, walks_per_node + 1)
+    )
+    return f"""
+WITH pairs AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+ed AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM pairs a JOIN pairs b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey <> b.l_partkey
+),
+adj AS MATERIALIZED (
+  SELECT src, dst,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY src ORDER BY md5(src || ':' || dst), dst
+         ) - 1 AS BIGINT) AS idx
+  FROM ed
+  QUALIFY idx < {max_degree}
+),
+deg AS MATERIALIZED (SELECT src, count(*) AS cdeg FROM adj GROUP BY src),
+nodes AS MATERIALIZED (SELECT src AS node FROM ed UNION SELECT dst FROM ed),
+w0 AS MATERIALIZED (
+  SELECT CAST(node AS BIGINT) AS start, walk,
+         CAST(0 AS BIGINT) AS step, CAST(node AS BIGINT) AS cur
+  FROM nodes CROSS JOIN ({walks}) ws
+),
+{','.join(steps)}
+SELECT start, walk, step, cur AS node FROM ({union})
+"""
+
+
+_ORACLE_RANDOM_WALKS = _walks_oracle_sql(4, 2, 16)
+
+
 def _pagerank_oracle_sql(iterations: int = 10) -> str:
     """Unrolled fixed-iteration integer PageRank as one DuckDB query
     (recursive CTEs disallow aggregation over the recursive relation,
@@ -2949,6 +3025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triangles": _q_triangles,
         "kg_pagerank": _q_pagerank,
         "kg_hits": _q_hits,
+        "kg_random_walks": _q_random_walks,
         "kg_transitive_closure": _q_transitive_closure,
         "kg_bfs_dist": _q_bfs_dist,
         "kg_negative_sample": _q_negative_sample,
@@ -3047,6 +3124,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_triangles": _ORACLE_TRIANGLES,
         "kg_pagerank": _ORACLE_PAGERANK,
         "kg_hits": _ORACLE_HITS,
+        "kg_random_walks": _ORACLE_RANDOM_WALKS,
         "kg_transitive_closure": _ORACLE_TRANSITIVE_CLOSURE,
         "kg_bfs_dist": _ORACLE_BFS_DIST,
         "kg_negative_sample": _ORACLE_NEGATIVE_SAMPLE,

@@ -1904,3 +1904,60 @@ def test_hits_integer_exact_replay(spark):
     again = {r["node"]: (r["auth"], r["hub"])
              for r in hits(df, iterations=5).collect()}
     assert got == again
+
+
+def _replay_walks(edges, walk_length, walks_per_node, max_degree):
+    """Pure-Python replay of graph.random_walks (md5-ranked capped
+    adjacency + multiplicative-hash step choice)."""
+    import hashlib
+
+    M, A, B, C, D = 2147483647, 1103515245, 747796405, 62089911, 104729
+    adjfull: dict = {}
+    for s, d in set(edges):
+        adjfull.setdefault(s, []).append(d)
+    adj = {
+        s: sorted(
+            ds, key=lambda d: (hashlib.md5(f"{s}:{d}".encode()).hexdigest(), d)
+        )[:max_degree]
+        for s, ds in adjfull.items()
+    }
+    nodes = {s for s, _ in edges} | {d for _, d in edges}
+    exp = set()
+    for n in sorted(nodes):
+        for w in range(1, walks_per_node + 1):
+            cur = n
+            exp.add((n, w, 0, n))
+            for t in range(1, walk_length + 1):
+                if cur not in adj:
+                    break  # sink: walk ends early
+                cd = len(adj[cur])
+                i = ((n % M) * A + w * B + t * C + (cur % M) * D) % cd
+                cur = adj[cur][i]
+                exp.add((n, w, t, cur))
+    return exp
+
+
+def test_random_walks_exact_replay(spark):
+    """Every step of every walk replayed exactly in Python: md5-ranked
+    degree-capped adjacency (cap bites on node 2, degree 3 > cap 2),
+    sink termination (node 6), duplicate input edges collapse,
+    rerun stability."""
+    from tortank_spark.graph import random_walks
+
+    edges = [
+        (1, 2), (1, 3), (2, 1), (2, 3), (2, 4), (3, 1), (4, 1),
+        (5, 6), (5, 6),  # duplicate edge must not double idx space
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = random_walks(df, walk_length=3, walks_per_node=2, max_degree=2)
+    got = {(r["start"], r["walk"], r["step"], r["node"])
+           for r in out.collect()}
+    exp = _replay_walks(edges, 3, 2, 2)
+    assert got == exp
+    assert (6, 1, 0, 6) in got  # pure-sink node still emits step 0
+    assert not any(s == 6 and st > 0 for s, _, st, _ in got)
+    again = {(r["start"], r["walk"], r["step"], r["node"])
+             for r in random_walks(
+                 df, walk_length=3, walks_per_node=2, max_degree=2
+             ).collect()}
+    assert got == again

@@ -340,6 +340,119 @@ def bfs_distances(
         e.unpersist()
 
 
+# walk-step hash multipliers — the negative-sampling family
+# (sampling._NEG_*: inputs reduced mod 2^31-1, coefficient magnitudes
+# staggered so the 4-term sum stays far below 2^63 in ANSI BIGINT)
+_WALK_M = 2_147_483_647
+_WALK_A = 1_103_515_245  # start-node multiplier
+_WALK_B = 747_796_405    # walk-index multiplier
+_WALK_C = 62_089_911     # step-index multiplier
+_WALK_D = 104_729        # current-node multiplier
+
+
+def random_walks(
+    edges: DataFrame, src: str = "src", dst: str = "dst",
+    walk_length: int = 4, walks_per_node: int = 2,
+    max_degree: int = 16, n_salts: int = 64,
+) -> DataFrame:
+    """DeepWalk-style random-walk corpus (Perozzi et al., KDD'14) ->
+    (start, walk, step, node): ``walks_per_node`` truncated walks of
+    up to ``walk_length`` steps from every vertex — the sequence
+    corpus an embedding pipeline (skip-gram over walks) materializes
+    ahead of training, exactly like negative_samples feeds TransE.
+
+    NO RNG: the step-t choice is a pure function of the data —
+    ``idx = H(start, walk, t, cur) mod cdeg(cur)`` with the
+    multiplicative-hash family above — so walks are identical across
+    reruns, partitionings, AND engines (the DuckDB oracle replays
+    every step; a seeded RNG never could). Node ids must be integers
+    (the KGE vocabulary encoding, built upstream).
+
+    Adjacency comes from sampling.sample_neighbors(max_degree): each
+    node's out-edges ranked by md5("src:dst") via the salted two-level
+    tournament, so a web-scale celebrity node never sorts its whole
+    adjacency in one task AND per-step fan-out is hard-bounded by
+    ``max_degree`` (the standard degree-capped walk at crawl scale).
+    The cap changes which graph is walked (md5-smallest neighbors
+    kept), not determinism; the oracle replays it as a plain
+    per-src row_number — salt-invariance argued at sample_neighbors.
+
+    Scale shape per step: one 1:1 equi-join state->degree, one
+    equi-join on (cur, idx) into the capped adjacency — an indexed
+    lookup, NO fan-out-then-filter — with frontier-sized input;
+    lineage truncated per step (lazy localCheckpoint, one chained
+    job). Walks that reach a sink simply end (step-0 rows guarantee
+    every node emits >= 1 row)."""
+    from functools import reduce
+
+    from tortank_spark.sampling import sample_neighbors
+
+    spark = edges.sparkSession
+    # duplicate (src, dst) rows would receive DISTINCT tournament
+    # ranks (md5 keys collide exactly), skewing the walk distribution
+    # and breaking idx-uniqueness — the adjacency is a set
+    edges = (
+        edges.select(F.col(src).alias(src), F.col(dst).alias(dst))
+        .filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .distinct()
+    )
+    adj = (
+        sample_neighbors(edges, max_degree, src, dst, n_salts)
+        .select(
+            F.col(src).alias("a_src"), F.col(dst).alias("a_dst"),
+            (F.col("rank") - 1).cast("long").alias("idx"),
+        )
+        .localCheckpoint(eager=False)  # tournament runs once, read L times
+    )
+    deg = adj.groupBy(F.col("a_src").alias("d_src")).agg(
+        F.count("*").alias("cdeg")
+    ).localCheckpoint(eager=False)
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .filter(F.col("node").isNotNull())
+        .distinct()
+    )
+    ws = spark.range(1, walks_per_node + 1).select(
+        F.col("id").alias("walk")
+    )
+    state = nodes.crossJoin(F.broadcast(ws)).select(
+        F.col("node").cast("long").alias("start"),
+        F.col("walk").cast("long").alias("walk"),
+        F.lit(0).cast("long").alias("step"),
+        F.col("node").cast("long").alias("cur"),
+    ).localCheckpoint(eager=False)
+    levels = [state]
+    for t in range(1, walk_length + 1):
+        idx = F.pmod(
+            F.pmod(F.col("start"), F.lit(_WALK_M)) * _WALK_A
+            + F.col("walk") * _WALK_B
+            + F.lit(t) * _WALK_C
+            + F.pmod(F.col("cur"), F.lit(_WALK_M)) * _WALK_D,
+            F.col("cdeg"),
+        )
+        state = (
+            state.join(deg, state["cur"] == deg["d_src"])
+            .withColumn("_i", idx)
+            .join(
+                adj,
+                (F.col("cur") == adj["a_src"])
+                & (F.col("_i") == adj["idx"]),
+            )
+            .select(
+                "start", "walk",
+                F.lit(t).cast("long").alias("step"),
+                F.col("a_dst").cast("long").alias("cur"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        levels.append(state)
+    out = reduce(DataFrame.unionByName, levels)
+    return out.select(
+        "start", "walk", "step", F.col("cur").alias("node")
+    )
+
+
 def canonical_edges(edges: DataFrame, src: str = "src",
                     dst: str = "dst") -> DataFrame:
     """Distinct undirected edges as (a, b) with a < b; self-loops
