@@ -2269,6 +2269,48 @@ SELECT start, walk, step, cur AS node FROM ({union})
 _ORACLE_RANDOM_WALKS = _walks_oracle_sql(4, 2, 16)
 
 
+def _q_coref_jaccard(spark, sf_dir):
+    """Structural co-reference candidates over the customer->part
+    purchase graph: customer pairs whose part baskets overlap
+    (neighborhood Jaccard as exact integer ppm, linking.
+    neighborhood_jaccard). max_df=40 genuinely bites at sf0.01 (51
+    parts above the cap are excluded from pairing AND degrees);
+    min_common=4 keeps candidates, not noise. FULL value oracle."""
+    from tortank_spark.linking import neighborhood_jaccard
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e = orders.join(
+        li, orders["o_orderkey"] == li["l_orderkey"]
+    ).select(
+        F.col("o_custkey").alias("src"), F.col("l_partkey").alias("dst")
+    )
+    return neighborhood_jaccard(e, max_df=40, min_common=4)
+
+
+_ORACLE_COREF_JACCARD = """
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT o_custkey AS src, l_partkey AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+ef AS MATERIALIZED (
+  SELECT * FROM e
+  WHERE dst IN (SELECT dst FROM e GROUP BY dst HAVING count(*) <= 40)
+),
+deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM ef GROUP BY src),
+p AS (
+  SELECT a.src AS a, b.src AS b, count(*) AS common
+  FROM ef a JOIN ef b ON a.dst = b.dst AND a.src < b.src
+  GROUP BY 1, 2
+  HAVING count(*) >= 4
+)
+SELECT p.a, p.b, p.common, da.deg AS deg_a, db.deg AS deg_b,
+       CAST(p.common * 1000000 // (da.deg + db.deg - p.common)
+            AS BIGINT) AS jaccard_ppm
+FROM p JOIN deg da ON p.a = da.src JOIN deg db ON p.b = db.src
+"""
+
+
 def _pagerank_oracle_sql(iterations: int = 10) -> str:
     """Unrolled fixed-iteration integer PageRank as one DuckDB query
     (recursive CTEs disallow aggregation over the recursive relation,
@@ -3026,6 +3068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank": _q_pagerank,
         "kg_hits": _q_hits,
         "kg_random_walks": _q_random_walks,
+        "kg_coref_jaccard": _q_coref_jaccard,
         "kg_transitive_closure": _q_transitive_closure,
         "kg_bfs_dist": _q_bfs_dist,
         "kg_negative_sample": _q_negative_sample,
@@ -3125,6 +3168,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_pagerank": _ORACLE_PAGERANK,
         "kg_hits": _ORACLE_HITS,
         "kg_random_walks": _ORACLE_RANDOM_WALKS,
+        "kg_coref_jaccard": _ORACLE_COREF_JACCARD,
         "kg_transitive_closure": _ORACLE_TRANSITIVE_CLOSURE,
         "kg_bfs_dist": _ORACLE_BFS_DIST,
         "kg_negative_sample": _ORACLE_NEGATIVE_SAMPLE,

@@ -1961,3 +1961,32 @@ def test_random_walks_exact_replay(spark):
                  df, walk_length=3, walks_per_node=2, max_degree=2
              ).collect()}
     assert got == again
+
+
+def test_neighborhood_jaccard_exact(spark):
+    """Known overlaps produce exact integer ppm scores; a celebrity
+    neighbor above max_df is excluded from pairing AND degrees; a < b
+    canonical order; min_common prunes."""
+    from tortank_spark.linking import neighborhood_jaccard
+
+    edges = [
+        ("n1", "x"), ("n1", "y"), ("n1", "z"),
+        ("n2", "x"), ("n2", "y"),
+        ("n3", "z"),
+        ("n4", "c"), ("n5", "c"), ("n6", "c"),  # fan-in 3 > max_df 2
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {(r["a"], r["b"]): (r["common"], r["deg_a"], r["deg_b"],
+                              r["jaccard_ppm"])
+           for r in neighborhood_jaccard(df, max_df=2).collect()}
+    assert got == {
+        ("n1", "n2"): (2, 3, 2, 2 * 10 ** 6 // 3),
+        ("n1", "n3"): (1, 3, 1, 10 ** 6 // 3),
+    }
+    strict = neighborhood_jaccard(df, max_df=2, min_common=2).collect()
+    assert [(r["a"], r["b"]) for r in strict] == [("n1", "n2")]
+    # no cap: the celebrity pairs appear, jaccard 1.0 exactly
+    free = {(r["a"], r["b"]): r["jaccard_ppm"]
+            for r in neighborhood_jaccard(df, max_df=None).collect()}
+    assert free[("n4", "n5")] == 10 ** 6
+    assert ("n2", "n1") not in free  # canonical order only

@@ -100,3 +100,72 @@ def entity_cooccurrence(
         .agg(F.count("*").alias("n_docs"))
         .filter(F.col("n_docs") >= min_docs)
     )
+
+
+def neighborhood_jaccard(
+    edges: DataFrame, src: str = "src", dst: str = "dst",
+    max_df: int | None = 1000, min_common: int = 1,
+    min_jaccard_ppm: int = 0,
+) -> DataFrame:
+    """Structural co-reference candidates: node pairs scored by the
+    Jaccard overlap of their out-neighbor sets -> (a, b, common,
+    deg_a, deg_b, jaccard_ppm) with a < b. THE second signal for
+    owl:sameAs discovery — alias linking (link_mentions) matches
+    surface forms, this matches *contexts*: two IRIs that point at
+    nearly the same neighbor set are co-referent suspects even when
+    their labels share nothing (classic structural ER; feeds
+    canonicalize.sameas_edges after thresholding).
+
+    Jaccard is emitted as scaled-integer parts-per-million,
+    ``common * 1e6 DIV (deg_a + deg_b - common)`` — exact, hashable,
+    engine-replayable (the tfidf/pagerank integer-ranking precedent);
+    the raw counts ride along so callers can re-threshold for free.
+
+    Scale shape: candidate pairs come from a self equi-join on the
+    shared neighbor — the classic quadratic trap when one neighbor
+    has web-scale fan-in (every pair of a celebrity's 10^6 in-nodes
+    meets). ``max_df`` drops neighbors with fan-in above the cap
+    BEFORE pairing (the winnow/MOSS max_df guard, textops.py:
+    near-universal neighbors carry no co-reference signal anyway,
+    exactly like stopwords), hard-bounding per-key fan-out at
+    C(max_df, 2). Degrees are computed on the SAME filtered edge set
+    so the Jaccard stays internally consistent. One aggregate after
+    the pair join (map-side partial), two broadcast-size degree
+    joins; no Python anywhere."""
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+    )
+    if max_df is not None:
+        rare = (
+            e.groupBy("dst").agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("dst")
+        )
+        e = e.join(rare, "dst", "left_semi")
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    a = e.select(F.col("src").alias("a"), "dst")
+    b = e.select(F.col("src").alias("b"), "dst")
+    pairs = (
+        a.join(b, "dst")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("common"))
+        .filter(F.col("common") >= min_common)
+    )
+    out = (
+        pairs.join(deg.select(F.col("src").alias("a"),
+                              F.col("deg").alias("deg_a")), "a")
+        .join(deg.select(F.col("src").alias("b"),
+                         F.col("deg").alias("deg_b")), "b")
+        .withColumn(
+            "jaccard_ppm",
+            F.expr("CAST(common * 1000000 DIV "
+                   "(deg_a + deg_b - common) AS BIGINT)"),
+        )
+    )
+    if min_jaccard_ppm:
+        out = out.filter(F.col("jaccard_ppm") >= min_jaccard_ppm)
+    return out.select("a", "b", "common", "deg_a", "deg_b",
+                      "jaccard_ppm")
