@@ -2269,6 +2269,34 @@ SELECT start, walk, step, cur AS node FROM ({union})
 _ORACLE_RANDOM_WALKS = _walks_oracle_sql(4, 2, 16)
 
 
+def _q_split_assign(spark, sf_dir):
+    """Deterministic 90/5/5 train/val/test carve of the documents
+    table (sampling.split_assign, salt 7) — one narrow projection,
+    engine-replayable Lehmer-hash buckets. FULL value oracle: DuckDB
+    recomputes every bucket with the same BIGINT arithmetic."""
+    from tortank_spark.sampling import split_assign
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return split_assign(
+        docs, "doc_id",
+        (("train", 90), ("val", 5), ("test", 5)), salt=7,
+    )
+
+
+_ORACLE_SPLIT_ASSIGN = """
+SELECT doc_id, lang,
+       CASE WHEN b < 90 THEN 'train'
+            WHEN b < 95 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id, lang,
+         ((doc_id % 2147483647) * 1103515245 + 8 * 62089911)
+           % 2147483647 % 100 AS b
+  FROM documents
+)
+"""
+
+
 def _q_coref_jaccard(spark, sf_dir):
     """Structural co-reference candidates over the customer->part
     purchase graph: customer pairs whose part baskets overlap
@@ -3098,6 +3126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_winnow_spans": _q_winnow_spans,
         "text_contamination": _q_contamination,
         "text_sample_stratified": _q_stratified_sample,
+        "text_split_assign": _q_split_assign,
         "text_quality": _q_quality,
         "text_salient_terms": _q_salient_terms,
         "text_tfidf_topk": _q_tfidf_topk,
@@ -3313,6 +3342,7 @@ def oracle_sql() -> dict[str, str]:
         "text_winnow_spans": _ORACLE_WINNOW_SPANS % _ORACLE_WINNOW,
         "text_contamination": _ORACLE_CONTAMINATION % _ORACLE_WINNOW,
         "text_sample_stratified": _ORACLE_STRATIFIED,
+        "text_split_assign": _ORACLE_SPLIT_ASSIGN,
         "mm_features": _ORACLE_MM_FEATURES,
         "mm_resize": _ORACLE_MM_RESIZE,
         "mm_frames": _ORACLE_MM_FRAMES,

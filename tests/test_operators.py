@@ -1990,3 +1990,35 @@ def test_neighborhood_jaccard_exact(spark):
             for r in neighborhood_jaccard(df, max_df=None).collect()}
     assert free[("n4", "n5")] == 10 ** 6
     assert ("n2", "n1") not in free  # canonical order only
+
+
+def test_split_assign_deterministic(spark):
+    """Assignments replay exactly in Python, survive repartitioning,
+    cover every row, and different salts give different carves."""
+    from tortank_spark.sampling import split_assign
+
+    df = spark.range(0, 1000).select(F.col("id").alias("doc_id"))
+    out = split_assign(df, "doc_id", (("train", 8), ("val", 1),
+                                      ("test", 1)), salt=3)
+    got = {r["doc_id"]: r["split"] for r in out.collect()}
+
+    M, A, C = 2_147_483_647, 1_103_515_245, 62_089_911
+    names = ["train"] * 8 + ["val", "test"]
+    exp = {i: names[((i % M) * A + 4 * C) % M % 10] for i in range(1000)}
+    assert got == exp
+    assert set(exp.values()) == {"train", "val", "test"}  # all used
+    # partitioning-invariant
+    re = {r["doc_id"]: r["split"]
+          for r in split_assign(df.repartition(13), "doc_id",
+                                (("train", 8), ("val", 1), ("test", 1)),
+                                salt=3).collect()}
+    assert re == got
+    # independent carve per salt
+    other = {r["doc_id"]: r["split"]
+             for r in split_assign(df, "doc_id",
+                                   (("train", 8), ("val", 1),
+                                    ("test", 1)), salt=4).collect()}
+    assert other != got
+    import pytest
+    with pytest.raises(ValueError):
+        split_assign(df, "doc_id", (("a", 0),))
