@@ -2297,6 +2297,103 @@ FROM (
 """
 
 
+def _q_label_prop(spark, sf_dir):
+    """Region-label inference over the undirected supply KG
+    (customer—part—supplier): suppliers are seeded with their
+    nation's region name, 3 synchronous majority-vote rounds
+    (graph.propagate_labels) type the parts then the customers.
+    FULL value oracle: DuckDB replays all 3 rounds with the same
+    (count desc, label asc) tie-break under MATERIALIZED CTEs."""
+    from tortank_spark.graph import propagate_labels
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cp = orders.join(
+        li, orders["o_orderkey"] == li["l_orderkey"]
+    ).select(
+        F.concat(F.lit("c:"), F.col("o_custkey")).alias("src"),
+        F.concat(F.lit("p:"), F.col("l_partkey")).alias("dst"),
+    )
+    ps = li.select(
+        F.concat(F.lit("p:"), F.col("l_partkey")).alias("src"),
+        F.concat(F.lit("s:"), F.col("l_suppkey")).alias("dst"),
+    )
+    directed = cp.unionByName(ps)
+    e = directed.unionByName(
+        directed.select(F.col("dst").alias("src"),
+                        F.col("src").alias("dst"))
+    )
+    seeds = (
+        _t(spark, sf_dir, "supplier")
+        .join(_t(spark, sf_dir, "nation"),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(_t(spark, sf_dir, "region"),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            F.concat(F.lit("s:"), F.col("s_suppkey")).alias("node"),
+            F.col("r_name").alias("label"),
+        )
+    )
+    return propagate_labels(e, seeds, rounds=3)
+
+
+def _label_prop_oracle_sql(rounds: int = 3) -> str:
+    """Unrolled synchronous label propagation; every CTE MATERIALIZED
+    (each round is referenced by the next AND votes reference edges —
+    default inlining would re-expand the prefix chain per reference,
+    the kg_hits lesson)."""
+    steps = []
+    prev = "l0"
+    for t in range(1, rounds + 1):
+        steps.append(f"""
+w{t} AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT e.dst AS node, p.label, count(*) AS c,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.dst ORDER BY count(*) DESC, p.label ASC
+           ) AS rn
+    FROM e JOIN {prev} p ON e.src = p.node
+    GROUP BY e.dst, p.label
+  ) WHERE rn = 1
+),
+l{t} AS MATERIALIZED (
+  SELECT node, label FROM l0
+  UNION ALL
+  SELECT node, label FROM w{t}
+  WHERE node NOT IN (SELECT node FROM l0)
+)""")
+        prev = f"l{t}"
+    return f"""
+WITH directed AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT 'c:' || o_custkey AS src, 'p:' || l_partkey AS dst
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    UNION ALL
+    SELECT 'p:' || l_partkey, 's:' || l_suppkey FROM lineitem
+  )
+),
+e AS MATERIALIZED (
+  SELECT src, dst FROM directed
+  UNION
+  SELECT dst, src FROM directed
+),
+l0 AS MATERIALIZED (
+  SELECT 's:' || s_suppkey AS node, min(r_name) AS label
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY 1
+),
+{','.join(steps)}
+SELECT node, label FROM l{rounds}
+"""
+
+
+_ORACLE_LABEL_PROP = _label_prop_oracle_sql(3)
+
+
 def _q_coref_jaccard(spark, sf_dir):
     """Structural co-reference candidates over the customer->part
     purchase graph: customer pairs whose part baskets overlap
@@ -3097,6 +3194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_hits": _q_hits,
         "kg_random_walks": _q_random_walks,
         "kg_coref_jaccard": _q_coref_jaccard,
+        "kg_label_prop": _q_label_prop,
         "kg_transitive_closure": _q_transitive_closure,
         "kg_bfs_dist": _q_bfs_dist,
         "kg_negative_sample": _q_negative_sample,
@@ -3198,6 +3296,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_hits": _ORACLE_HITS,
         "kg_random_walks": _ORACLE_RANDOM_WALKS,
         "kg_coref_jaccard": _ORACLE_COREF_JACCARD,
+        "kg_label_prop": _ORACLE_LABEL_PROP,
         "kg_transitive_closure": _ORACLE_TRANSITIVE_CLOSURE,
         "kg_bfs_dist": _ORACLE_BFS_DIST,
         "kg_negative_sample": _ORACLE_NEGATIVE_SAMPLE,

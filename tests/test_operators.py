@@ -2022,3 +2022,36 @@ def test_split_assign_deterministic(spark):
     import pytest
     with pytest.raises(ValueError):
         split_assign(df, "doc_id", (("a", 0),))
+
+
+def test_propagate_labels_dynamics(spark):
+    """Majority vote with (count desc, label asc) tie-break; seeds
+    clamped against hostile neighborhoods; seed conflicts resolve to
+    min(label); a node flips when round-2 majority overturns its
+    round-1 label (synchronous semantics)."""
+    from tortank_spark.graph import propagate_labels
+
+    edges = [
+        ("a", "n"), ("m1", "n"), ("m2", "n"),      # n: L1 then flip L2
+        ("b1", "m1"), ("b2", "m2"),
+        ("a", "x"), ("b1", "x"),                    # x: 1-1 tie -> L1
+        ("m1", "a"), ("m2", "a"),                   # hostile votes at seed a
+    ]
+    seeds = [("a", "L1"), ("a", "L9"),              # conflict -> L1
+             ("b1", "L2"), ("b2", "L2")]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    s = spark.createDataFrame(seeds, "node string, label string")
+
+    r1 = {r["node"]: r["label"]
+          for r in propagate_labels(e, s, rounds=1).collect()}
+    assert r1 == {"a": "L1", "b1": "L2", "b2": "L2",
+                  "n": "L1",            # only seed a voted yet
+                  "x": "L1",            # L1 vs L2 tie -> smaller label
+                  "m1": "L2", "m2": "L2"}
+    r2 = {r["node"]: r["label"]
+          for r in propagate_labels(e, s, rounds=2).collect()}
+    assert r2["n"] == "L2"              # 2x L2 beats 1x L1 in round 2
+    assert r2["a"] == "L1"              # clamped despite 2x L2 votes
+    again = {r["node"]: r["label"]
+             for r in propagate_labels(e, s, rounds=2).collect()}
+    assert r2 == again

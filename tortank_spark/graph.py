@@ -538,3 +538,66 @@ def triangle_counts(edges: DataFrame, src: str = "src",
     finally:
         e.unpersist()
         oriented.unpersist()
+
+
+def propagate_labels(
+    edges: DataFrame, seeds: DataFrame,
+    src: str = "src", dst: str = "dst",
+    node: str = "node", label: str = "label",
+    rounds: int = 3,
+) -> DataFrame:
+    """Semi-supervised label propagation (Zhu & Ghahramani 2002,
+    majority-vote variant) -> (node, label): infer types/categories
+    for unlabeled KG entities from a labeled seed set — the type-
+    inference pass after entity linking gives SOME nodes rdf:type and
+    the rest need one. Synchronous rounds: every node adopts the most
+    common label among its in-neighbors' current labels; seeds are
+    CLAMPED (re-asserted each round, the standard semi-supervised
+    discipline). Fully deterministic — the vote tie-break is (max
+    count, then smallest label), seed conflicts resolve to min(label)
+    per node, and rounds are fixed — so the DuckDB oracle replays
+    every round. Directed by construction: pre-union reversed edges
+    for undirected propagation.
+
+    Scale shape per round: one equi-join current-labels->edges (only
+    label-sized data moves; the edge table is pre-partitioned and
+    shuffled zero times per round), a (node, label) count with
+    map-side partial aggregation, then a per-node argmax via
+    min(struct(-count, label)) — an AGGREGATE, not a window, so no
+    per-node sort and celebrity nodes reduce tree-style; per-node
+    vote rows are bounded by the distinct-label count anyway.
+    Lineage truncated per round with lazy localCheckpoint."""
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+        .repartition("src")
+        .persist()
+    )
+    sd = (
+        seeds.select(F.col(node).alias("node"), F.col(label).alias("label"))
+        .groupBy("node")
+        .agg(F.min("label").alias("label"))
+        .localCheckpoint(eager=False)
+    )
+    try:
+        cur = sd
+        for _ in range(rounds):
+            votes = (
+                e.join(cur, e["src"] == cur["node"])
+                .groupBy(F.col("dst"), F.col("label"))
+                .agg(F.count("*").alias("c"))
+            )
+            win = (
+                votes.groupBy("dst")
+                .agg(F.min(F.struct((-F.col("c")).alias("nc"),
+                                    F.col("label").alias("l"))).alias("w"))
+                .select(F.col("dst").alias("node"),
+                        F.col("w.l").alias("label"))
+            )
+            cur = sd.unionByName(
+                win.join(sd.select("node"), "node", "left_anti")
+            ).localCheckpoint(eager=False)
+        return cur
+    finally:
+        e.unpersist()
