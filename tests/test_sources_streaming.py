@@ -325,3 +325,60 @@ def test_stream_exact_dedup_folds_state_across_drains(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     )
     assert got == [(5, 3), (11, 1), (13, 1)]
+
+
+# ---- pagetable resolution ladder ------------------------------------
+
+
+def _mini_pages(spark):
+    from tortank_spark import fixtures
+
+    return fixtures.make_pages(spark, n_pages=8, n_partitions=2)
+
+
+def test_read_pages_parquet_and_table(spark, tmp_path):
+    """Ladder rungs testable in this runtime: parquet directory and
+    catalog-table (spark.table) both resolve and validate."""
+    from tortank_spark.sources.pagetable import read_pages
+
+    src = _mini_pages(spark)
+    n = src.count()
+    p = str(tmp_path / "pages")
+    src.write.parquet(p)
+    got = read_pages(spark, p)
+    assert got.count() == n > 0
+    assert [f.name for f in got.schema.fields][:5] == [
+        "url", "warc_ts", "html", "text", "lang"
+    ]
+    spark.read.parquet(p).createOrReplaceTempView("pages_v")
+    assert read_pages(spark, "table:pages_v").count() == n
+
+
+def test_read_pages_contract_violation(spark, tmp_path):
+    """A mis-declared upstream table fails HERE at plan time with the
+    offending columns named, not three stages later inside a UDF."""
+    import pytest
+
+    from tortank_spark.sources.pagetable import read_pages
+
+    p = str(tmp_path / "bad")
+    spark.createDataFrame(
+        [("u", "not-a-timestamp")], "url string, warc_ts string"
+    ).write.parquet(p)
+    with pytest.raises(TypeError) as ei:
+        read_pages(spark, p)
+    msg = str(ei.value)
+    assert "warc_ts" in msg and "html" in msg  # wrong + missing named
+
+
+def test_read_pages_iceberg_missing_runtime(spark, tmp_path):
+    """iceberg:<path> must raise the typed, actionable error in a
+    jar-less runtime — NEVER silently fall back to another format."""
+    import pytest
+
+    from tortank_spark.sources.pagetable import (
+        IcebergRuntimeMissing, read_pages,
+    )
+
+    with pytest.raises(IcebergRuntimeMissing, match="iceberg-spark-runtime"):
+        read_pages(spark, f"iceberg:{tmp_path}/warehouse/pages")

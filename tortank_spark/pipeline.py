@@ -261,6 +261,13 @@ def main():
     ap = argparse.ArgumentParser(description="tortank-spark KG pipeline")
     ap.add_argument("--out", required=True)
     ap.add_argument("--pages", type=int, default=256)
+    ap.add_argument(
+        "--input", default=None,
+        help="page-table source instead of synthesized fixtures: "
+             "table:<catalog.db.name> (Iceberg via session catalog), "
+             "iceberg:<path>, or a parquet directory "
+             "(sources.pagetable.read_pages resolution ladder)",
+    )
     ap.add_argument("--buckets", type=int, default=8)
     ap.add_argument("--cpus", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
@@ -270,8 +277,13 @@ def main():
 
     spark = get_spark("tortank-pipeline", cpus=args.cpus)
     spark.sparkContext.setLogLevel("WARN")
-    pages = fixtures.make_pages(spark, n_pages=args.pages,
-                                n_partitions=max(args.cpus, 8))
+    if args.input:
+        from .sources.pagetable import read_pages
+
+        pages = read_pages(spark, args.input)
+    else:
+        pages = fixtures.make_pages(spark, n_pages=args.pages,
+                                    n_partitions=max(args.cpus, 8))
     alias_dict = fixtures.make_alias_dict(spark)
     stats = run_pipeline(spark, pages, args.out, n_buckets=args.buckets,
                          alias_dict=alias_dict)
