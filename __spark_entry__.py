@@ -2967,6 +2967,49 @@ def _q_extract_full(spark, sf_dir):
     )
 
 
+def _q_inlink_profile(spark, sf_dir):
+    """Per-entity inlink descriptor (profiling.inlink_profile) over
+    the full-grammar extraction corpus — entity popularity, distinct
+    describers, dominant predicate with deterministic tie-break. FULL
+    value oracle: the same aggregates over the SQL-regenerated corpus
+    (tie-break replayed as row_number ORDER BY c DESC, p ASC)."""
+    from tortank_spark.profiling import inlink_profile
+
+    return inlink_profile(_q_extract_full(spark, sf_dir))
+
+
+def _inlink_oracle_sql() -> str:
+    return f"""
+WITH corpus AS MATERIALIZED (
+{_full_oracle_sql()}
+),
+ti AS MATERIALIZED (
+  SELECT s, p, o AS iri FROM corpus WHERE o_kind = 'iri'
+),
+per_pred AS (
+  SELECT iri, p, count(*) AS c FROM ti GROUP BY iri, p
+),
+top AS (
+  SELECT iri, p AS top_pred, c AS top_pred_n FROM (
+    SELECT iri, p, c,
+           ROW_NUMBER() OVER (
+             PARTITION BY iri ORDER BY c DESC, p ASC
+           ) AS rn
+    FROM per_pred
+  ) WHERE rn = 1
+),
+agg AS (
+  SELECT iri, count(*) AS n_inlinks,
+         count(DISTINCT s) AS n_subjects,
+         count(DISTINCT p) AS n_preds
+  FROM ti GROUP BY iri
+)
+SELECT a.iri, a.n_inlinks, a.n_subjects, a.n_preds,
+       t.top_pred, t.top_pred_n
+FROM agg a JOIN top t ON a.iri = t.iri
+"""
+
+
 def _q_khop_sample(spark, sf_dir):
     """GraphSAGE-style deterministic 2-hop neighbor sampling (fanout
     3 then 2) over the directed supply KG (same edge set as
@@ -3170,6 +3213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_extract_turtle": _q_extract_turtle,
         "kg_extract_full": _q_extract_full,
         "kg_predicate_stats": _q_predicate_stats,
+        "kg_inlink_profile": _q_inlink_profile,
         "kg_khop_sample": _q_khop_sample,
         "kg_skolemize": _q_skolemize,
         "kg_ntriples_render": _q_ntriples_render,
@@ -3255,6 +3299,7 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT s) AS n_subjects
             FROM ({_full_oracle_sql()}) GROUP BY 1, 2, 3, 4
         """,
+        "kg_inlink_profile": _inlink_oracle_sql(),
         "kg_khop_sample": _ORACLE_KHOP,
         "kg_skolemize": _ORACLE_SKOLEM,
         "kg_ntriples_render": _ORACLE_NTRIPLES,

@@ -2055,3 +2055,27 @@ def test_propagate_labels_dynamics(spark):
     again = {r["node"]: r["label"]
              for r in propagate_labels(e, s, rounds=2).collect()}
     assert r2 == again
+
+
+def test_inlink_profile_exact(spark):
+    """Counts, distinct subjects/preds, and tie-broken top predicate
+    pinned by hand; literal objects excluded by kind."""
+    from tortank_spark.profiling import inlink_profile
+
+    rows = [
+        ("s1", "p1", "E", "iri"), ("s2", "p1", "E", "iri"),
+        ("s1", "p2", "E", "iri"), ("s1", "p1", "E", "iri"),  # dup edge counts
+        ("s3", "p9", "F", "iri"),
+        ("s1", "p1", "E", "literal"),                         # excluded
+    ]
+    df = spark.createDataFrame(rows, "s string, p string, o string, o_kind string")
+    got = {r["iri"]: (r["n_inlinks"], r["n_subjects"], r["n_preds"],
+                      r["top_pred"], r["top_pred_n"])
+           for r in inlink_profile(df).collect()}
+    assert got == {"E": (4, 2, 2, "p1", 3), "F": (1, 1, 1, "p9", 1)}
+    # tie -> smallest predicate IRI wins
+    tie = spark.createDataFrame(
+        [("a", "pB", "X", "iri"), ("b", "pA", "X", "iri")],
+        "s string, p string, o string, o_kind string")
+    t = inlink_profile(tie).collect()[0]
+    assert (t["top_pred"], t["top_pred_n"]) == ("pA", 1)
