@@ -3060,6 +3060,43 @@ FROM s1 LEFT JOIN s2 ON s1.n1 = s2.n1
 """
 
 
+def _q_collocations(spark, sf_dir):
+    """Corpus collocations over documents: adjacent bigrams scored by
+    the scaled-integer PMI proxy (textops.collocations, min_count=3).
+    FULL value oracle: DuckDB rebuilds bigrams from 1-based list
+    indexing and replays the DECIMAL product / integer quotient."""
+    from tortank_spark.textops import collocations
+
+    return collocations(_t(spark, sf_dir, "documents"), min_count=3)
+
+
+_ORACLE_COLLOCATIONS = """
+WITH docs AS MATERIALIZED (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS l
+  FROM documents
+),
+toks AS MATERIALIZED (SELECT unnest(l) AS tok FROM docs),
+uni AS MATERIALIZED (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+total AS (SELECT count(*) AS n FROM toks),
+big AS MATERIALIZED (
+  SELECT a, b, count(*) AS n_xy FROM (
+    SELECT d.l[i.i] AS a, d.l[i.i + 1] AS b
+    FROM docs d, unnest(range(1, len(d.l))) AS i(i)
+  ) GROUP BY a, b
+  HAVING count(*) >= 3
+)
+SELECT big.a, big.b, big.n_xy, ua.c AS c_a, ub.c AS c_b,
+       CAST(CAST(big.n_xy AS HUGEINT) * total.n * 1000000
+            // (ua.c * ub.c) AS BIGINT) AS pmi_ppm
+FROM big
+JOIN uni ua ON big.a = ua.tok
+JOIN uni ub ON big.b = ub.tok
+CROSS JOIN total
+"""
+
+
 def _q_predicate_stats(spark, sf_dir):
     """KG profiling: per-(predicate, object kind, datatype, lang)
     triple counts + distinct subject counts over the full-grammar
@@ -3269,6 +3306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_contamination": _q_contamination,
         "text_sample_stratified": _q_stratified_sample,
         "text_split_assign": _q_split_assign,
+        "text_collocations": _q_collocations,
         "text_quality": _q_quality,
         "text_salient_terms": _q_salient_terms,
         "text_tfidf_topk": _q_tfidf_topk,
@@ -3487,6 +3525,7 @@ def oracle_sql() -> dict[str, str]:
         "text_contamination": _ORACLE_CONTAMINATION % _ORACLE_WINNOW,
         "text_sample_stratified": _ORACLE_STRATIFIED,
         "text_split_assign": _ORACLE_SPLIT_ASSIGN,
+        "text_collocations": _ORACLE_COLLOCATIONS,
         "mm_features": _ORACLE_MM_FEATURES,
         "mm_resize": _ORACLE_MM_RESIZE,
         "mm_frames": _ORACLE_MM_FRAMES,

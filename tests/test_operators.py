@@ -2079,3 +2079,27 @@ def test_inlink_profile_exact(spark):
         "s string, p string, o string, o_kind string")
     t = inlink_profile(tie).collect()[0]
     assert (t["top_pred"], t["top_pred_n"]) == ("pA", 1)
+
+
+def test_collocations_exact_counts(spark):
+    """Bigram/unigram counts and the integer PMI proxy pinned by hand;
+    bigrams wrap inside docs but never across docs; min_count prunes;
+    1-token docs contribute unigrams only."""
+    from tortank_spark.textops import collocations
+
+    docs = [
+        (1, "new york new york"),
+        (2, "york new"),
+        (3, "solo"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r["a"], r["b"]): (r["n_xy"], r["c_a"], r["c_b"], r["pmi_ppm"])
+           for r in collocations(df, min_count=1).collect()}
+    # tokens: new x3, york x3, solo x1 -> N = 7
+    # bigrams: doc1 -> (new,york), (york,new), (new,york); doc2 -> (york,new)
+    N = 7
+    assert got[("new", "york")] == (2, 3, 3, 2 * N * 10 ** 6 // 9)
+    assert got[("york", "new")] == (2, 3, 3, 2 * N * 10 ** 6 // 9)
+    assert ("york", "solo") not in got  # no cross-doc bigram
+    assert len(got) == 2
+    assert collocations(df, min_count=3).collect() == []

@@ -463,3 +463,31 @@ def test_transitive_closure_and_pagerank_equi_joins_only(spark):
         plan = plan_of(df)
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_round5_graph_ops_equi_joins_only(spark):
+    """hits / random_walks / propagate_labels / neighborhood_jaccard
+    must stay equi-join geometry: walk steps are indexed (node, idx)
+    lookups, jaccard pairs join on the shared neighbor, votes join on
+    the node id. A CartesianProduct or BroadcastNestedLoopJoin in any
+    plan means a bounded join degenerated to all-pairs."""
+    from tortank_spark.graph import hits, propagate_labels, random_walks
+    from tortank_spark.linking import neighborhood_jaccard
+
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 8) for i in range(8)] + [(0, 5), (2, 7)],
+        "src long, dst long",
+    )
+    seeds = spark.createDataFrame([(0, "A"), (4, "B")],
+                                  "node long, label string")
+    for df in (
+        hits(edges, iterations=1),
+        random_walks(edges, walk_length=2, walks_per_node=1),
+        propagate_labels(edges, seeds, rounds=2),
+        neighborhood_jaccard(edges.select(
+            F.col("src").cast("string").alias("src"),
+            F.col("dst").cast("string").alias("dst")), max_df=5),
+    ):
+        plan = plan_of(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan

@@ -733,3 +733,63 @@ def repetition_signals(
             ).alias("top_bigram_frac"),
         )
     )
+
+
+def collocations(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    min_count: int = 2, scale: int = 10 ** 6,
+) -> DataFrame:
+    """Corpus-level collocation mining -> (a, b, n_xy, c_a, c_b,
+    pmi_ppm): adjacent-bigram pairs scored by a scaled-integer PMI
+    proxy ``n_xy * N * scale DIV (c_a * c_b)`` (monotone in true PMI
+    at fixed counts — log is order-preserving — so thresholding/
+    ranking behaves identically while staying engine-exact where
+    float log tails never hash; the salient_terms integer-ranking
+    precedent). The standard relation-induction / phrase-vocabulary
+    signal: "new york", "climate change" bond far above chance.
+
+    Scale shape: bigrams come from ONE projection per doc (transform
+    over the token array — no self-join on position, no shuffle to
+    form pairs); then two map-side-partial count aggregates (unigram,
+    bigram), ``min_count`` pruning BEFORE the scoring joins (Zipf
+    tail never reaches the join), two equi-joins against the unigram
+    table and a broadcast 1-row total. The n_xy*N*scale product runs
+    in DECIMAL(38,0) (~1e32 worst case at 10^13 tokens — the hits
+    overflow discipline); the quotient is emitted BIGINT."""
+    arr = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda x: x != "",
+    )
+    docs = df.select(F.col(id_col).alias("_id"), arr.alias("l"))
+    toks = docs.select(F.explode("l").alias("tok"))
+    uni = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    total = toks.agg(F.count("*").alias("n"))
+    big = (
+        docs.filter(F.size("l") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(slice(l, 1, size(l) - 1),"
+                    " (x, i) -> struct(x AS a, l[i + 1] AS b))"
+                )
+            ).alias("bg")
+        )
+        .select(F.col("bg.a").alias("a"), F.col("bg.b").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_xy"))
+        .filter(F.col("n_xy") >= min_count)
+    )
+    return (
+        big.join(uni.select(F.col("tok").alias("a"),
+                            F.col("c").alias("c_a")), "a")
+        .join(uni.select(F.col("tok").alias("b"),
+                         F.col("c").alias("c_b")), "b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "a", "b", "n_xy", "c_a", "c_b",
+            F.expr(
+                f"CAST(CAST(n_xy AS DECIMAL(38,0)) * n * {scale}"
+                f" DIV (c_a * c_b) AS BIGINT)"
+            ).alias("pmi_ppm"),
+        )
+    )
