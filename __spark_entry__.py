@@ -943,6 +943,40 @@ def _q_minhash_verified(spark, sf_dir):
         sigs.unpersist()
 
 
+def _q_scd2_history(spark, sf_dir):
+    """SCD2 dimension build over the event stream: per-user
+    event_type validity intervals, consecutive duplicates compressed,
+    (ts, event_id) total order (events.scd2_history). FULL value
+    oracle: DuckDB replays lag/lead/row_number over the same order."""
+    from tortank_spark.events import scd2_history
+
+    return scd2_history(_t(spark, sf_dir, "events"))
+
+
+_ORACLE_SCD2 = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS prev
+  FROM events
+),
+changes AS (
+  SELECT user_id, ts, event_id, event_type
+  FROM ordered
+  WHERE prev IS NULL OR event_type <> prev
+)
+SELECT user_id, event_type AS attr, ts AS valid_from,
+       lead(ts) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+       ) AS valid_to,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+       ) AS INT) AS version
+FROM changes
+"""
+
+
 def _q_events_asof(spark, sf_dir):
     """Point-in-time feature backfill: every non-purchase event gets
     the user's most recent STRICTLY-prior purchase (id + value), or
@@ -3320,6 +3354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed_agg": _q_events_windowed,
         "events_sessionize": _q_sessionize,
         "events_asof_join": _q_events_asof,
+        "events_scd2_history": _q_scd2_history,
         "sim_lsh_ann": _q_lsh_ann,
         "sim_ivf_ann": _q_ivf_ann,
         "mm_features": _q_multimodal_features,
@@ -3531,6 +3566,7 @@ def oracle_sql() -> dict[str, str]:
         "mm_frames": _ORACLE_MM_FRAMES,
         "events_sessionize": _ORACLE_SESSIONS,
         "events_asof_join": _ORACLE_EVENTS_ASOF,
+        "events_scd2_history": _ORACLE_SCD2,
         "events_windowed_agg": """
             SELECT date_trunc('hour', ts) AS win_start,
                    event_type,

@@ -2103,3 +2103,35 @@ def test_collocations_exact_counts(spark):
     assert ("york", "solo") not in got  # no cross-doc bigram
     assert len(got) == 2
     assert collocations(df, min_count=3).collect() == []
+
+
+def test_scd2_history_intervals(spark):
+    """Consecutive duplicates compress, intervals chain exactly,
+    equal-ts ties resolve by event id (total order), open interval is
+    null, per-key isolation."""
+    import datetime as dt
+
+    from tortank_spark.events import scd2_history
+
+    T = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        (1, T(1), 10, "a"), (2, T(2), 10, "a"),   # dup -> compressed
+        (3, T(3), 10, "b"),
+        (4, T(4), 10, "b"), (5, T(5), 10, "a"),
+        (6, T(6), 20, "x"),
+        # equal ts, ids decide order: id 7 then 8 -> 'p' then 'q'
+        (7, T(9), 30, "p"), (8, T(9), 30, "q"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string")
+    got = {(r["user_id"], r["version"]):
+           (r["attr"], r["valid_from"], r["valid_to"])
+           for r in scd2_history(df).collect()}
+    assert got == {
+        (10, 1): ("a", T(1), T(3)),
+        (10, 2): ("b", T(3), T(5)),
+        (10, 3): ("a", T(5), None),
+        (20, 1): ("x", T(6), None),
+        (30, 1): ("p", T(9), T(9)),
+        (30, 2): ("q", T(9), None),
+    }

@@ -249,3 +249,48 @@ def asof_join(
         *[F.col(f"_state.{c}{suffix}").alias(c + suffix)
           for c in value_cols],
     )
+
+
+def scd2_history(
+    events: DataFrame, key_col: str = "user_id", ts_col: str = "ts",
+    attr_col: str = "event_type", id_col: str = "event_id",
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history build -> (key, attr,
+    valid_from, valid_to, version): compress a per-key event stream
+    into versioned validity intervals — one row per VALUE CHANGE, with
+    ``valid_to`` = the next change's timestamp (null = current) and a
+    1-based version counter. The dimension-table materialization an
+    as-of join (asof_join above) consumes, built once instead of
+    re-scanning raw events per query.
+
+    Classic gaps-and-islands: a change row is one whose attr differs
+    from its predecessor in (ts, id) order — ``id_col`` makes the
+    order TOTAL, so equal-timestamp events resolve identically on
+    every engine and rerun (the DuckDB oracle replays lag/lead/
+    row_number over the same total order).
+
+    Scale shape: ONE shuffle on the key, then sort-within-partition
+    for all three window functions over the same (key | ts, id)
+    frame (Spark plans a single Sort + Window chain, no re-shuffle
+    between them); per-key history must fit one task's sort spill —
+    the standard SCD2 build envelope (billions of keys scale out;
+    a single key with 10^9 events is an upstream modeling bug)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    changes = (
+        events.select(key_col, ts_col, id_col, attr_col)
+        .withColumn("_prev", F.lag(attr_col).over(w))
+        .filter(
+            F.col("_prev").isNull()
+            | (F.col(attr_col) != F.col("_prev"))
+        )
+    )
+    wc = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    return changes.select(
+        F.col(key_col),
+        F.col(attr_col).alias("attr"),
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(wc).alias("valid_to"),
+        F.row_number().over(wc).alias("version"),
+    )
