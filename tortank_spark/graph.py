@@ -387,12 +387,16 @@ def random_walks(
     kept), not determinism; the oracle replays it as a plain
     per-src row_number — salt-invariance argued at sample_neighbors.
 
-    Scale shape per step: one 1:1 equi-join state->degree, one
-    equi-join on (cur, idx) into the capped adjacency — an indexed
-    lookup, NO fan-out-then-filter — with frontier-sized input;
-    lineage truncated per step (lazy localCheckpoint, one chained
-    job). Walks that reach a sink simply end (step-0 rows guarantee
-    every node emits >= 1 row)."""
+    Scale shape per step: one 1:1 equi-join state->degree, then one
+    equi-join into the capped adjacency ON THE NODE KEY ALONE with a
+    post-filter on idx: adjacency and degree are persisted
+    pre-partitioned by node, so across all L steps only the
+    walk-state (score-sized) ever shuffles — a (node, idx) two-key
+    join would re-hash the adjacency (the big side) every step. The
+    join's pre-filter fan-out is bounded by ``max_degree`` rows per
+    state row, by construction. Lineage truncated per step (lazy
+    localCheckpoint, one chained job). Walks that reach a sink simply
+    end (step-0 rows guarantee every node emits >= 1 row)."""
     from functools import reduce
 
     from tortank_spark.sampling import sample_neighbors
@@ -412,11 +416,12 @@ def random_walks(
             F.col(src).alias("a_src"), F.col(dst).alias("a_dst"),
             (F.col("rank") - 1).cast("long").alias("idx"),
         )
-        .localCheckpoint(eager=False)  # tournament runs once, read L times
+        .repartition("a_src")  # reused by every step's node-key join
+        .persist()
     )
     deg = adj.groupBy(F.col("a_src").alias("d_src")).agg(
         F.count("*").alias("cdeg")
-    ).localCheckpoint(eager=False)
+    ).repartition("d_src").persist()
     nodes = (
         edges.select(F.col(src).alias("node"))
         .unionByName(edges.select(F.col(dst).alias("node")))
@@ -433,34 +438,38 @@ def random_walks(
         F.col("node").cast("long").alias("cur"),
     ).localCheckpoint(eager=False)
     levels = [state]
-    for t in range(1, walk_length + 1):
-        idx = F.pmod(
-            F.pmod(F.col("start"), F.lit(_WALK_M)) * _WALK_A
-            + F.col("walk") * _WALK_B
-            + F.lit(t) * _WALK_C
-            + F.pmod(F.col("cur"), F.lit(_WALK_M)) * _WALK_D,
-            F.col("cdeg"),
-        )
-        state = (
-            state.join(deg, state["cur"] == deg["d_src"])
-            .withColumn("_i", idx)
-            .join(
-                adj,
-                (F.col("cur") == adj["a_src"])
-                & (F.col("_i") == adj["idx"]),
+    try:
+        for t in range(1, walk_length + 1):
+            idx = F.pmod(
+                F.pmod(F.col("start"), F.lit(_WALK_M)) * _WALK_A
+                + F.col("walk") * _WALK_B
+                + F.lit(t) * _WALK_C
+                + F.pmod(F.col("cur"), F.lit(_WALK_M)) * _WALK_D,
+                F.col("cdeg"),
             )
-            .select(
-                "start", "walk",
-                F.lit(t).cast("long").alias("step"),
-                F.col("a_dst").cast("long").alias("cur"),
+            state = (
+                state.join(deg, state["cur"] == deg["d_src"])
+                .withColumn("_i", idx)
+                # node-key join + idx post-filter: adj keeps its
+                # partitioning across steps; fan-out <= max_degree
+                .join(adj, F.col("cur") == adj["a_src"])
+                .filter(F.col("_i") == F.col("idx"))
+                .select(
+                    "start", "walk",
+                    F.lit(t).cast("long").alias("step"),
+                    F.col("a_dst").cast("long").alias("cur"),
+                )
+                .localCheckpoint(eager=False)
             )
-            .localCheckpoint(eager=False)
+            levels.append(state)
+        out = reduce(DataFrame.unionByName, levels).select(
+            "start", "walk", "step", F.col("cur").alias("node")
         )
-        levels.append(state)
-    out = reduce(DataFrame.unionByName, levels)
-    return out.select(
-        "start", "walk", "step", F.col("cur").alias("node")
-    )
+        # materialize before the finally releases the caches
+        return out.localCheckpoint(eager=True)
+    finally:
+        adj.unpersist()
+        deg.unpersist()
 
 
 def canonical_edges(edges: DataFrame, src: str = "src",
