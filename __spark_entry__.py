@@ -3131,6 +3131,49 @@ CROSS JOIN total
 """
 
 
+def _q_boilerplate(spark, sf_dir):
+    """Per-doc boilerplate share over documents, token units grouped
+    by source (textops.boilerplate_stats: group-conditional document
+    frequency, >= 2 docs AND >= 40% of the source's docs). FULL value
+    oracle: DuckDB replays the cross-multiplied threshold and the
+    integer share."""
+    from tortank_spark.textops import boilerplate_stats
+
+    return boilerplate_stats(
+        _t(spark, sf_dir, "documents"), unit="token",
+        min_docs=2, min_frac_ppm=400_000,
+    )
+
+
+_ORACLE_BOILERPLATE = """
+WITH units AS MATERIALIZED (
+  SELECT source AS g, doc_id, trim(u) AS u
+  FROM (
+    SELECT source, doc_id,
+           unnest(string_split_regex(lower(text), '\\s+')) AS u
+    FROM documents
+  ) WHERE trim(u) <> ''
+),
+udf_ AS MATERIALIZED (
+  SELECT g, u, count(DISTINCT doc_id) AS ldf FROM units GROUP BY g, u
+),
+gn AS (SELECT source AS g, count(DISTINCT doc_id) AS gn
+       FROM documents GROUP BY source),
+boiler AS MATERIALIZED (
+  SELECT udf_.g, udf_.u FROM udf_ JOIN gn ON udf_.g = gn.g
+  WHERE ldf >= 2 AND ldf * 1000000 >= 400000 * gn.gn
+)
+SELECT u.doc_id, count(*) AS n_units,
+       CAST(sum(CASE WHEN b.u IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_boiler,
+       CAST(sum(CASE WHEN b.u IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS boiler_ppm
+FROM units u
+LEFT JOIN boiler b ON u.g = b.g AND u.u = b.u
+GROUP BY u.doc_id
+"""
+
+
 def _q_predicate_stats(spark, sf_dir):
     """KG profiling: per-(predicate, object kind, datatype, lang)
     triple counts + distinct subject counts over the full-grammar
@@ -3341,6 +3384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_sample_stratified": _q_stratified_sample,
         "text_split_assign": _q_split_assign,
         "text_collocations": _q_collocations,
+        "text_boilerplate": _q_boilerplate,
         "text_quality": _q_quality,
         "text_salient_terms": _q_salient_terms,
         "text_tfidf_topk": _q_tfidf_topk,
@@ -3561,6 +3605,7 @@ def oracle_sql() -> dict[str, str]:
         "text_sample_stratified": _ORACLE_STRATIFIED,
         "text_split_assign": _ORACLE_SPLIT_ASSIGN,
         "text_collocations": _ORACLE_COLLOCATIONS,
+        "text_boilerplate": _ORACLE_BOILERPLATE,
         "mm_features": _ORACLE_MM_FEATURES,
         "mm_resize": _ORACLE_MM_RESIZE,
         "mm_frames": _ORACLE_MM_FRAMES,

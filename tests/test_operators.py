@@ -2135,3 +2135,28 @@ def test_scd2_history_intervals(spark):
         (30, 1): ("p", T(9), T(9)),
         (30, 2): ("q", T(9), None),
     }
+
+
+def test_boilerplate_stats_line_mode(spark):
+    """Per-domain chrome detected, cross-domain words spared: a nav
+    line shared by 2/3 docs of domain A is boilerplate there; the
+    same line appearing once in domain B is NOT boilerplate in B
+    (group-conditional df); repeated occurrences inside one doc all
+    count in the share; thresholds replayed by hand."""
+    from tortank_spark.textops import boilerplate_stats
+
+    docs = [
+        ("A", 1, "Nav Bar\nunique alpha\nnav bar"),   # nav bar x2 (case-folded)
+        ("A", 2, "nav bar\nunique beta"),
+        ("A", 3, "unique gamma"),
+        ("B", 4, "nav bar\nsolo text"),
+    ]
+    df = spark.createDataFrame(docs, "source string, doc_id long, text string")
+    got = {r["doc_id"]: (r["n_units"], r["n_boiler"], r["boiler_ppm"])
+           for r in boilerplate_stats(df, min_docs=2,
+                                      min_frac_ppm=500_000).collect()}
+    # domain A: 'nav bar' ldf=2 of gn=3 -> 666667 ppm >= 500000 -> boiler
+    assert got[1] == (3, 2, 2 * 10 ** 6 // 3)
+    assert got[2] == (2, 1, 500_000)
+    assert got[3] == (1, 0, 0)
+    assert got[4] == (2, 0, 0)  # ldf=1 in B: spared

@@ -793,3 +793,73 @@ def collocations(
             ).alias("pmi_ppm"),
         )
     )
+
+
+def boilerplate_stats(
+    df: DataFrame, group_col: str = "source", id_col: str = "doc_id",
+    text_col: str = "text", unit: str = "line",
+    min_docs: int = 2, min_frac_ppm: int = 300_000,
+) -> DataFrame:
+    """Per-document boilerplate share -> (id, n_units, n_boiler,
+    boiler_ppm): a unit (``line`` split on newline, or ``token`` split
+    on whitespace — both lowercased+trimmed) counts as boilerplate
+    within its GROUP (domain/source) when it appears in >= ``min_docs``
+    distinct documents AND in >= ``min_frac_ppm`` of the group's
+    documents. The crawl-cleaning primitive: nav bars, cookie banners,
+    and footer chrome repeat across one domain's pages but not across
+    the web, so the document frequency must be GROUP-conditional —
+    a global threshold either misses per-site chrome or nukes common
+    words (per-domain template detection as in the boilerplate-removal
+    literature, e.g. Kohlschutter et al. boilerpipe's site-level
+    variant). High boiler_ppm docs are filter_decision fodder.
+
+    Integer-exact: the share is ``n_boiler * 1e6 DIV n_units``; the
+    threshold compare is cross-multiplied (``ldf * 1e6 >= ppm * gn``)
+    so no division happens before the compare — engine-exact.
+
+    Scale shape: one explode, one (group, unit) distinct-doc count
+    (map-side partial), one doc count per group (broadcast-size), the
+    boilerplate dictionary semi-joined back on (group, unit) — the
+    dictionary is vocabulary-sized per group, never corpus-sized; a
+    unit's fan-in is bounded by its group's page count, so one domain
+    cannot straggle the whole corpus."""
+    sep = {"line": r"\n", "token": r"\s+"}[unit]
+    units = (
+        df.select(
+            F.col(group_col).alias("_g"), F.col(id_col).alias("_id"),
+            F.explode(
+                F.split(F.lower(F.col(text_col)), sep)
+            ).alias("_raw"),
+        )
+        .select("_g", "_id", F.trim(F.col("_raw")).alias("_u"))
+        .filter(F.col("_u") != "")
+    )
+    udf_ = units.groupBy("_g", "_u").agg(
+        F.countDistinct("_id").alias("_ldf")
+    )
+    gn = df.groupBy(F.col(group_col).alias("_g")).agg(
+        F.countDistinct(id_col).alias("_gn")
+    )
+    boiler = (
+        udf_.join(gn, "_g")
+        .filter(
+            (F.col("_ldf") >= min_docs)
+            & (F.col("_ldf") * 1_000_000 >= min_frac_ppm * F.col("_gn"))
+        )
+        .select("_g", "_u")
+    )
+    flagged = units.join(
+        boiler.withColumn("_b", F.lit(1)), ["_g", "_u"], "left"
+    )
+    return (
+        flagged.groupBy("_id")
+        .agg(
+            F.count("*").alias("n_units"),
+            F.sum(F.coalesce(F.col("_b"), F.lit(0))).alias("n_boiler"),
+        )
+        .select(
+            F.col("_id").alias(id_col), "n_units", "n_boiler",
+            F.expr("CAST(n_boiler * 1000000 DIV n_units AS BIGINT)")
+            .alias("boiler_ppm"),
+        )
+    )
