@@ -2527,6 +2527,54 @@ def _q_triangles(spark, sf_dir):
     return triangle_counts(edges)
 
 
+def _q_clustering(spark, sf_dir):
+    """Per-node clustering coefficients over the part co-purchase
+    graph (graph.clustering_coefficients — Watts/Strogatz local cc in
+    exact integer ppm on the triangle_counts orientation engine; the
+    link-farm/template-cluster signal). FULL value oracle: DuckDB
+    re-derives degrees + the 3-way triangle join and replays the
+    HUGEINT product / integer quotient."""
+    from tortank_spark.graph import clustering_coefficients
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pairs = li.distinct()
+    l1 = pairs.select("l_orderkey", F.col("l_partkey").alias("src"))
+    l2 = pairs.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    edges = l1.join(l2, "l_orderkey").filter(
+        F.col("src") < F.col("dst")
+    ).select("src", "dst")
+    return clustering_coefficients(edges)
+
+
+_ORACLE_CLUSTERING = """
+WITH lp AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS MATERIALIZED (
+  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+  FROM lp l1 JOIN lp l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey),
+deg AS MATERIALIZED (
+  SELECT node, count(*) AS deg FROM (
+    SELECT a AS node FROM e UNION ALL SELECT b FROM e
+  ) GROUP BY node),
+t AS MATERIALIZED (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM e e1 JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+tri AS MATERIALIZED (
+  SELECT node, count(*) AS n_tri FROM (
+    SELECT a AS node FROM t UNION ALL SELECT b FROM t
+    UNION ALL SELECT c FROM t
+  ) GROUP BY node)
+SELECT d.node, d.deg,
+       CAST(COALESCE(tri.n_tri, 0) AS BIGINT) AS n_tri,
+       CAST(CASE WHEN d.deg >= 2
+            THEN CAST(COALESCE(tri.n_tri, 0) AS HUGEINT) * 2 * 1000000
+                 // (d.deg * (d.deg - 1))
+            ELSE 0 END AS BIGINT) AS cc_ppm
+FROM deg d LEFT JOIN tri ON d.node = tri.node
+"""
+
+
 _ORACLE_TRIANGLES = """
 WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 e AS (SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
@@ -3348,6 +3396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_lsh_recall": _q_lsh_recall,
         "kg_connected_components": _q_connected_components,
         "kg_triangles": _q_triangles,
+        "kg_clustering": _q_clustering,
         "kg_pagerank": _q_pagerank,
         "kg_hits": _q_hits,
         "kg_random_walks": _q_random_walks,
@@ -3454,6 +3503,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "kg_connected_components": _ORACLE_CC,
         "kg_triangles": _ORACLE_TRIANGLES,
+        "kg_clustering": _ORACLE_CLUSTERING,
         "kg_pagerank": _ORACLE_PAGERANK,
         "kg_hits": _ORACLE_HITS,
         "kg_random_walks": _ORACLE_RANDOM_WALKS,

@@ -2160,3 +2160,22 @@ def test_boilerplate_stats_line_mode(spark):
     assert got[2] == (2, 1, 500_000)
     assert got[3] == (1, 0, 0)
     assert got[4] == (2, 0, 0)  # ldf=1 in B: spared
+
+
+def test_clustering_coefficients_exact(spark):
+    """A 4-clique (cc=1), a star center (cc=0), a half-closed wedge
+    apex, and a degree-1 leaf — all pinned by hand in exact ppm."""
+    from tortank_spark.graph import clustering_coefficients
+
+    clique = [(a, b) for a in "abcd" for b in "abcd" if a < b]
+    star = [("s", x) for x in ("x1", "y1", "z1")]
+    wedge = [("w", "x"), ("w", "y"), ("x", "y"), ("w", "z2")]  # w: deg 3, 1 tri
+    df = spark.createDataFrame(clique + star + wedge,
+                               "src string, dst string")
+    got = {r["node"]: (r["deg"], r["n_tri"], r["cc_ppm"])
+           for r in clustering_coefficients(df).collect()}
+    assert got["a"] == (3, 3, 10 ** 6)          # clique: fully closed
+    assert got["s"] == (3, 0, 0)                 # star center: open
+    # w: deg 3 (x, y, z2), one triangle w-x-y -> 2*1/(3*2)
+    assert got["w"] == (3, 1, 2 * 10 ** 6 // 6)
+    assert got["z2"] == (1, 0, 0)                # leaf: defined 0

@@ -620,3 +620,47 @@ def propagate_labels(
         return cur
     finally:
         e.unpersist()
+
+
+def clustering_coefficients(
+    edges: DataFrame, src: str = "src", dst: str = "dst",
+    scale: int = 10 ** 6,
+) -> DataFrame:
+    """Per-node local clustering coefficient -> (node, deg, n_tri,
+    cc_ppm): how clique-like each vertex's neighborhood is,
+    ``cc = 2*tri / (deg*(deg-1))`` emitted as exact scaled-integer
+    parts-per-million (Watts/Strogatz 1998 local coefficient; the
+    float quotient would never value-hash). In a web KG this is the
+    link-farm / template-cluster detector triangle counts feed: honest
+    hub entities have LOW cc (their neighbors don't interlink), SEO
+    rings and mirror farms have cc near 1.
+
+    Built on triangle_counts (degree-ordered orientation — the
+    O(m^1.5) wedge bound is the whole scale story) plus one degree
+    aggregate and one left join; nodes without triangles get cc 0,
+    degree-1 nodes are defined 0. The 2*tri*scale product runs in
+    DECIMAL(38,0) (a 10^9-degree celebrity's tri count can reach
+    ~deg^2/2; the hits overflow discipline) and the quotient returns
+    to BIGINT."""
+    e = canonical_edges(edges, src, dst)
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    tri = triangle_counts(e, "a", "b")
+    return (
+        deg.join(tri, "node", "left")
+        .select(
+            "node", "deg",
+            F.coalesce("n_tri", F.lit(0)).cast("long").alias("n_tri"),
+            F.when(
+                F.col("deg") >= 2,
+                F.expr(
+                    f"CAST(CAST(coalesce(n_tri, 0) AS DECIMAL(38,0))"
+                    f" * 2 * {scale} DIV (deg * (deg - 1)) AS BIGINT)"
+                ),
+            ).otherwise(F.lit(0)).cast("long").alias("cc_ppm"),
+        )
+    )
