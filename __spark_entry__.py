@@ -2470,6 +2470,86 @@ FROM p JOIN deg da ON p.a = da.src JOIN deg db ON p.b = db.src
 """
 
 
+def _q_ppr(spark, sf_dir):
+    """Personalized PageRank over the supply KG: teleport restricted
+    to the customer seeds c:<key<50> (graph.pagerank(seeds=...)) —
+    importance relative to a cohort, the topic-sensitive ranking of
+    Haveliwala 2002. FULL value oracle: all 10 rounds unrolled with
+    the seed-gated teleport term."""
+    from tortank_spark.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cp = orders.join(
+        li, orders["o_orderkey"] == li["l_orderkey"]
+    ).select(
+        F.concat(F.lit("c:"), F.col("o_custkey")).alias("src"),
+        F.concat(F.lit("p:"), F.col("l_partkey")).alias("dst"),
+    )
+    ps = li.select(
+        F.concat(F.lit("p:"), F.col("l_partkey")).alias("src"),
+        F.concat(F.lit("s:"), F.col("l_suppkey")).alias("dst"),
+    )
+    seeds = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 50)
+        .select(F.concat(F.lit("c:"), F.col("c_custkey")).alias("node"))
+    )
+    return pagerank(cp.unionByName(ps), iterations=10, seeds=seeds)
+
+
+def _ppr_oracle_sql(iterations: int = 10) -> str:
+    """Unrolled personalized PageRank: the pagerank oracle with the
+    teleport term gated on a MATERIALIZED seed flag in the node
+    table (single-reference chain, the kg_hits inlining lesson)."""
+    rounds = []
+    for i in range(1, iterations + 1):
+        rounds.append(f"""
+pr{i} AS MATERIALIZED (
+  SELECT n.node,
+         CAST(CASE WHEN n.seed THEN 150000000 ELSE 0 END
+              + (85 * COALESCE(s.s, 0)) // 100 AS BIGINT) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT ed.dst, SUM(p.rank // ed.odeg) AS s
+    FROM ed JOIN pr{i - 1} p ON ed.src = p.node GROUP BY ed.dst
+  ) s ON n.node = s.dst
+)""")
+    return f"""
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT 'c:' || o_custkey AS src, 'p:' || l_partkey AS dst
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    UNION ALL
+    SELECT 'p:' || l_partkey, 's:' || l_suppkey FROM lineitem
+  )
+),
+sd AS MATERIALIZED (
+  SELECT 'c:' || c_custkey AS node FROM customer WHERE c_custkey < 50
+),
+nodes AS MATERIALIZED (
+  SELECT node, node IN (SELECT node FROM sd) AS seed FROM (
+    SELECT src AS node FROM e UNION SELECT dst FROM e
+  )
+),
+deg AS (SELECT src, count(*) AS odeg FROM e GROUP BY src),
+ed AS MATERIALIZED (
+  SELECT e.src, e.dst, d.odeg FROM e JOIN deg d ON e.src = d.src
+),
+pr0 AS MATERIALIZED (
+  SELECT node, CAST(CASE WHEN seed THEN 1000000000 ELSE 0 END
+               AS BIGINT) AS rank
+  FROM nodes
+),
+{','.join(rounds)}
+SELECT node, rank FROM pr{iterations}
+"""
+
+
+_ORACLE_PPR = _ppr_oracle_sql(10)
+
+
 def _pagerank_oracle_sql(iterations: int = 10) -> str:
     """Unrolled fixed-iteration integer PageRank as one DuckDB query
     (recursive CTEs disallow aggregation over the recursive relation,
@@ -3398,6 +3478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triangles": _q_triangles,
         "kg_clustering": _q_clustering,
         "kg_pagerank": _q_pagerank,
+        "kg_ppr": _q_ppr,
         "kg_hits": _q_hits,
         "kg_random_walks": _q_random_walks,
         "kg_coref_jaccard": _q_coref_jaccard,
@@ -3505,6 +3586,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_triangles": _ORACLE_TRIANGLES,
         "kg_clustering": _ORACLE_CLUSTERING,
         "kg_pagerank": _ORACLE_PAGERANK,
+        "kg_ppr": _ORACLE_PPR,
         "kg_hits": _ORACLE_HITS,
         "kg_random_walks": _ORACLE_RANDOM_WALKS,
         "kg_coref_jaccard": _ORACLE_COREF_JACCARD,

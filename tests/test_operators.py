@@ -2179,3 +2179,32 @@ def test_clustering_coefficients_exact(spark):
     # w: deg 3 (x, y, z2), one triangle w-x-y -> 2*1/(3*2)
     assert got["w"] == (3, 1, 2 * 10 ** 6 // 6)
     assert got["z2"] == (1, 0, 0)                # leaf: defined 0
+
+
+def test_personalized_pagerank_replay(spark):
+    """Seeded-teleport PageRank replayed exactly in Python: teleport
+    and initial mass land only on seeds, non-seeds rank purely by
+    received mass; seeds=None stays the classic variant."""
+    from tortank_spark.graph import pagerank
+
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 1), (5, 1)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {r["node"]: r["rank"]
+           for r in pagerank(e, iterations=4, seeds=seeds).collect()}
+
+    SCALE, BASE = 10 ** 9, 150_000_000
+    odeg = {}
+    for s, _ in edges:
+        odeg[s] = odeg.get(s, 0) + 1
+    nodes = {s for s, _ in edges} | {d for _, d in edges}
+    rank = {n: SCALE if n == 1 else 0 for n in nodes}
+    for _ in range(4):
+        sums = {n: 0 for n in nodes}
+        for s, d in edges:
+            sums[d] += rank[s] // odeg[s]
+        rank = {n: (BASE if n == 1 else 0) + 85 * sums[n] // 100
+                for n in nodes}
+    assert got == rank
+    assert got[5] == 0  # nothing points at 5; no teleport either
+    assert got[1] > got[2] > 0

@@ -37,6 +37,7 @@ def pagerank(
     edges: DataFrame, src: str = "src", dst: str = "dst",
     iterations: int = 10, scale: int = 10 ** 9,
     damping_num: int = 85, damping_den: int = 100,
+    seeds: DataFrame | None = None, node: str = "node",
 ) -> DataFrame:
     """Fixed-iteration PageRank -> (node, rank) with ALL arithmetic in
     scaled BIGINT integers — entity importance over the canonicalized
@@ -61,7 +62,16 @@ def pagerank(
     persisted once and released in ``finally``; lineage is truncated
     per round by a lazy localCheckpoint so the 10-round plan stays
     linear (the connected_components idiom — one chained job, no
-    per-round driver sync at all since the round count is fixed)."""
+    per-round driver sync at all since the round count is fixed).
+
+    ``seeds`` (a 1-column frame of node ids) switches to PERSONALIZED
+    PageRank (Haveliwala 2002): the teleport term lands only on seed
+    nodes and the initial mass starts there, so rank measures
+    importance RELATIVE to the seed set (domain-conditional entity
+    ranking, topic-sensitive crawl priors, related-entity expansion).
+    Same integer arithmetic, same per-round plan — the seed flag is
+    one broadcast-size left join folded into the loop-invariant node
+    table, so the per-round cost is unchanged."""
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
@@ -80,13 +90,24 @@ def pagerank(
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        .repartition("node")
-        .persist()
     )
+    if seeds is not None:
+        sd = seeds.select(F.col(node).alias("node")).distinct()
+        nodes = nodes.join(
+            sd.withColumn("_seed", F.lit(True)), "node", "left"
+        ).select("node", F.coalesce("_seed", F.lit(False)).alias("_seed"))
+    else:
+        nodes = nodes.withColumn("_seed", F.lit(True))
+    nodes = nodes.repartition("node").persist()
     try:
         base = (damping_den - damping_num) * scale // damping_den
+        base_col = F.when(F.col("_seed"), F.lit(base)).otherwise(
+            F.lit(0)
+        ).cast("long")
         rank = nodes.select(
-            "node", F.lit(scale).cast("long").alias("rank")
+            "node",
+            F.when(F.col("_seed"), F.lit(scale)).otherwise(F.lit(0))
+            .cast("long").alias("rank"),
         ).localCheckpoint(eager=False)
         for _ in range(iterations):
             contrib = ed.join(
@@ -101,7 +122,7 @@ def pagerank(
             ).select(
                 "node",
                 (
-                    F.lit(base).cast("long")
+                    base_col
                     + F.expr(
                         f"({damping_num} * coalesce(s, 0L))"
                         f" DIV {damping_den}"
