@@ -1387,6 +1387,76 @@ def _q_lsh_recall(spark, sf_dir):
     )
 
 
+def _q_kmeans(spark, sf_dir):
+    """Distributed integer-exact Lloyd k-means over embeddings
+    (similarity.kmeans_lloyd, k=8, 2 rounds): full-corpus clustering
+    for curation/mixture balancing. FULL value oracle: DuckDB replays
+    quantization, every distance, tie-break, and integer-mean update
+    under MATERIALIZED CTEs."""
+    from tortank_spark.similarity import kmeans_lloyd
+
+    return kmeans_lloyd(
+        _t(spark, sf_dir, "embeddings"), k=8, iters=2
+    )
+
+
+def _kmeans_oracle_sql(k: int = 8, iters: int = 2, dim: int = 64,
+                       scale: int = 10 ** 6) -> str:
+    parts = []
+    dist = (
+        f"list_sum(list_transform(range(1, {dim + 1}),"
+        f" i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i])))"
+    )
+    for t in range(1, iters + 1):
+        parts.append(f"""
+a{t} AS MATERIALIZED (
+  SELECT vid, cid, d FROM (
+    SELECT vid, cid, d,
+           ROW_NUMBER() OVER (PARTITION BY vid ORDER BY d, cid) AS rn
+    FROM (
+      SELECT q.vid, c.cid, {dist} AS d
+      FROM q CROSS JOIN c{t - 1} c
+    )
+  ) WHERE rn = 1
+),
+c{t} AS MATERIALIZED (
+  SELECT c.cid, COALESCE(m.cv, c.cv) AS cv
+  FROM c{t - 1} c LEFT JOIN (
+    SELECT cid, list(val ORDER BY pos) AS cv FROM (
+      SELECT a.cid, p.i AS pos,
+             CAST(SUM(q.qv[p.i]) // COUNT(*) AS BIGINT) AS val
+      FROM a{t} a JOIN q USING (vid), unnest(range(1, {dim + 1})) AS p(i)
+      GROUP BY a.cid, p.i
+    ) GROUP BY cid
+  ) m ON c.cid = m.cid
+)""")
+    return f"""
+WITH q AS MATERIALIZED (
+  SELECT vec_id AS vid,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS qv
+  FROM embeddings
+),
+c0 AS MATERIALIZED (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vid) - 1 AS BIGINT) AS cid,
+         qv AS cv
+  FROM (SELECT vid, qv FROM q ORDER BY vid LIMIT {k})
+),
+{','.join(parts)}
+SELECT vid, cid, CAST(d AS BIGINT) AS d FROM (
+  SELECT vid, cid, d,
+         ROW_NUMBER() OVER (PARTITION BY vid ORDER BY d, cid) AS rn
+  FROM (
+    SELECT q.vid, c.cid, {dist} AS d
+    FROM q CROSS JOIN c{iters} c
+  )
+) WHERE rn = 1
+"""
+
+
+_ORACLE_KMEANS = _kmeans_oracle_sql(8, 2)
+
+
 def _q_ivf_ann(spark, sf_dir):
     """IVF ANN through the BUILD-ONCE index path (ivf_build persists
     the table partitioned by list_id; ivf_topk_indexed reads only the
@@ -3531,6 +3601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_scd2_history": _q_scd2_history,
         "sim_lsh_ann": _q_lsh_ann,
         "sim_ivf_ann": _q_ivf_ann,
+        "sim_kmeans": _q_kmeans,
         "mm_features": _q_multimodal_features,
         "mm_resize": _q_mm_resize,
         "mm_frames": _q_mm_frames,
@@ -3582,6 +3653,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_ivf_ann": (
             "SELECT 10 AS k, true AS recall_ok, true AS pruned_read"
         ),
+        "sim_kmeans": _ORACLE_KMEANS,
         "kg_connected_components": _ORACLE_CC,
         "kg_triangles": _ORACLE_TRIANGLES,
         "kg_clustering": _ORACLE_CLUSTERING,

@@ -2208,3 +2208,67 @@ def test_personalized_pagerank_replay(spark):
     assert got == rank
     assert got[5] == 0  # nothing points at 5; no teleport either
     assert got[1] > got[2] > 0
+
+
+def test_kmeans_lloyd_exact_replay(spark):
+    """Every quantization, assignment, tie-break, and integer-mean
+    update replayed in Python (negative coords included); an empty
+    cluster keeps its previous centroid; rerun-stable."""
+    from tortank_spark.similarity import kmeans_lloyd
+
+    vecs = [
+        (0, [0.0, 0.1]), (1, [0.02, 0.12]), (2, [1.0, 1.0]),
+        (3, [0.9, 1.1]), (4, [-1.0, -1.0]), (5, [-0.9, -1.2]),
+        (6, [0.01, 0.09]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    got = {r["vid"]: (r["cid"], r["d"])
+           for r in kmeans_lloyd(df, k=3, iters=2).collect()}
+
+    import math
+    S = 10 ** 6
+    # replicate float32 storage then the double widening
+    import numpy as np
+    q = {i: [int(math.floor(float(np.float32(x)) * S)) for x in v]
+         for i, v in vecs}
+    cent = {c: q[c][:] for c in range(3)}  # init: ids 0,1,2
+
+    def assign(cent):
+        out = {}
+        for i, qv in q.items():
+            best = min(
+                (sum((a - b) * (a - b) for a, b in zip(qv, cent[c])), c)
+                for c in sorted(cent)
+            )
+            out[i] = (best[1], best[0])
+        return out
+
+    def idiv(s, n):  # truncation toward zero, Spark DIV semantics
+        return int(s / n) if s < 0 else s // n
+
+    for _ in range(2):
+        a = assign(cent)
+        for c in sorted(cent):
+            members = [q[i] for i, (ci, _) in a.items() if ci == c]
+            if members:
+                cent[c] = [idiv(sum(col), len(members))
+                           for col in zip(*members)]
+    exp = {i: (c, d) for i, (c, d) in assign(cent).items()}
+    assert got == exp
+    again = {r["vid"]: (r["cid"], r["d"])
+             for r in kmeans_lloyd(df, k=3, iters=2).collect()}
+    assert got == again
+
+
+def test_kmeans_lloyd_empty_cluster_keeps_centroid(spark):
+    """Identical init points tie-break to the lower cid, leaving the
+    higher empty from round 1 — it must keep its previous centroid
+    (not vanish / NaN) and stay assignable."""
+    from tortank_spark.similarity import kmeans_lloyd
+
+    vecs = [(0, [0.0]), (1, [0.0]), (2, [5.0]), (3, [5.1])]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    got = {r["vid"]: r["cid"]
+           for r in kmeans_lloyd(df, k=3, iters=2).collect()}
+    # c1 inits identical to c0 -> all its would-be members tie to c0
+    assert got == {0: 0, 1: 0, 2: 2, 3: 2}

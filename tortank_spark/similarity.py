@@ -444,3 +444,86 @@ def ivf_recall_report(
         [(k, n_hits / k >= recall_floor, pruned_read)],
         "k int, recall_ok boolean, pruned_read boolean",
     )
+
+
+def kmeans_lloyd(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id",
+    k: int = 8, iters: int = 2, scale: int = 10 ** 6,
+) -> DataFrame:
+    """DISTRIBUTED integer-exact Lloyd k-means -> final (vid, cid, d)
+    assignment: full-corpus feature-space clustering for corpus
+    curation (cluster-balanced training mixtures, diversity sampling,
+    per-cluster quality audits) — the complement of kmeans_centroids
+    above, which trains a coarse IVF quantizer on a driver-side
+    sample; THIS one clusters every vector, distributed.
+
+    Integer-exact and engine-replayable (the pagerank discipline):
+    coordinates quantize once to ``floor(x * scale)`` BIGINT, squared
+    L2 distances are exact integer sums (quantization changes WHICH
+    clustering is computed, never its reproducibility), argmin ties
+    break to the lowest centroid id, centroid updates are elementwise
+    integer mean (sum DIV count — Spark DIV and DuckDB // both
+    truncate toward zero, verified, so negative coordinate sums agree
+    too), empty clusters keep their previous centroid, and init is
+    the k smallest ids' vectors. Every round replays in the DuckDB
+    oracle; float Lloyd could never value-hash (non-associative
+    accumulation + libm tie explosions).
+
+    Scale shape per round: one broadcast cross join vectors x k
+    centroids (k rows broadcast — never a shuffle of the corpus), one
+    min(struct) argmin aggregate, one posexplode + (cid, pos) sum for
+    the update (map-side partial; k*dim result rows). The quantized
+    table is computed once and checkpointed."""
+    from pyspark.sql import Window
+
+    q = df.select(
+        F.col(id_col).alias("vid"),
+        F.expr(
+            f"transform({vec_col}, x -> "
+            f"CAST(floor(CAST(x AS DOUBLE) * {scale}) AS BIGINT))"
+        ).alias("qv"),
+    ).localCheckpoint(eager=False)
+
+    w = Window.orderBy("vid")
+    cent = (
+        q.orderBy("vid").limit(k)
+        .select((F.row_number().over(w) - 1).cast("long").alias("cid"),
+                F.col("qv").alias("cv"))
+        .localCheckpoint(eager=False)
+    )
+
+    def _assign(c):
+        scored = q.crossJoin(F.broadcast(c)).select(
+            "vid", "cid",
+            F.expr(
+                "aggregate(zip_with(qv, cv, (a, b) -> (a - b) * (a - b)),"
+                " 0L, (acc, x) -> acc + x)"
+            ).alias("d"),
+        )
+        return (
+            scored.groupBy("vid")
+            .agg(F.min(F.struct(F.col("d"), F.col("cid"))).alias("w"))
+            .select("vid", F.col("w.cid").alias("cid"),
+                    F.col("w.d").alias("d"))
+        )
+
+    for _ in range(iters):
+        assign = _assign(cent).localCheckpoint(eager=False)
+        sums = (
+            assign.join(q, "vid")
+            .select("cid", F.posexplode("qv").alias("pos", "v"))
+            .groupBy("cid", "pos")
+            .agg(F.expr("CAST(sum(v) DIV count(*) AS BIGINT)").alias("cval"))
+        )
+        newc = sums.groupBy("cid").agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, cval))),"
+                " s -> s.cval)"
+            ).alias("ncv")
+        )
+        cent = (
+            cent.join(newc, "cid", "left")
+            .select("cid", F.coalesce("ncv", "cv").alias("cv"))
+            .localCheckpoint(eager=False)
+        )
+    return _assign(cent)
