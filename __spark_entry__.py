@@ -943,6 +943,39 @@ def _q_minhash_verified(spark, sf_dir):
         sigs.unpersist()
 
 
+def _q_zorder_key(spark, sf_dir):
+    """Morton/Z-order interleave key over (user_id, event_id) low 16
+    bits (storage.zorder_key — the multi-column data-skipping layout
+    key; write_zordered materializes with it, file-bbox-audited in
+    test_plans). FULL value oracle: DuckDB replays the bit interleave
+    term by term."""
+    from tortank_spark.storage import zorder_key
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id")
+    return ev.select(
+        "event_id",
+        zorder_key(
+            F.pmod(F.col("user_id"), F.lit(1 << 16)),
+            F.pmod(F.col("event_id"), F.lit(1 << 16)),
+            bits=16,
+        ).alias("zkey"),
+    )
+
+
+def _zorder_oracle_sql(bits: int = 16) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"((((user_id % 65536) >> {i}) & 1) << {2 * i})")
+        terms.append(f"((((event_id % 65536) >> {i}) & 1) << {2 * i + 1})")
+    return (
+        "SELECT event_id, CAST(" + " + ".join(terms)
+        + " AS BIGINT) AS zkey FROM events"
+    )
+
+
+_ORACLE_ZORDER = _zorder_oracle_sql(16)
+
+
 def _q_scd2_history(spark, sf_dir):
     """SCD2 dimension build over the event stream: per-user
     event_type validity intervals, consecutive duplicates compressed,
@@ -3599,6 +3632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _q_sessionize,
         "events_asof_join": _q_events_asof,
         "events_scd2_history": _q_scd2_history,
+        "storage_zorder_key": _q_zorder_key,
         "sim_lsh_ann": _q_lsh_ann,
         "sim_ivf_ann": _q_ivf_ann,
         "sim_kmeans": _q_kmeans,
@@ -3816,6 +3850,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": _ORACLE_SESSIONS,
         "events_asof_join": _ORACLE_EVENTS_ASOF,
         "events_scd2_history": _ORACLE_SCD2,
+        "storage_zorder_key": _ORACLE_ZORDER,
         "events_windowed_agg": """
             SELECT date_trunc('hour', ts) AS win_start,
                    event_type,

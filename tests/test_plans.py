@@ -491,3 +491,58 @@ def test_round5_graph_ops_equi_joins_only(spark):
         plan = plan_of(df)
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_zorder_layout_prunes_on_both_columns(spark, tmp_path_factory):
+    """On a full 64x64 grid split into 16 files: an x-sorted layout
+    gives every file the FULL y range (a y filter prunes nothing),
+    while the Z-ordered layout gives each file a tight 2-D bbox — a
+    narrow y window intersects only a small fraction of files. Also
+    pins the Morton key bit math against a Python replay."""
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    from tortank_spark.storage import write_zordered, zorder_key
+
+    tmp = tmp_path_factory.mktemp("zorder")
+    df = spark.range(0, 4096).select(
+        (F.col("id") % 64).alias("x"),
+        (F.col("id") / 64).cast("long").alias("y"),
+    )
+    plain = str(tmp / "plain")
+    (df.repartitionByRange(16, "x").sortWithinPartitions("x")
+       .write.parquet(plain))
+    zpath = str(tmp / "z")
+    write_zordered(df, zpath, "x", "y", bits=6, n_files=16)
+
+    def files_hit(path, lo, hi):  # files whose y-stats intersect [lo, hi]
+        hit = total = 0
+        for f in Path(path).glob("part-*.parquet"):
+            md = pq.ParquetFile(str(f)).metadata
+            yi = {md.schema.column(i).name: i
+                  for i in range(md.num_columns)}["y"]
+            ymin = min(md.row_group(g).column(yi).statistics.min
+                       for g in range(md.num_row_groups))
+            ymax = max(md.row_group(g).column(yi).statistics.max
+                       for g in range(md.num_row_groups))
+            total += 1
+            if ymax >= lo and ymin <= hi:
+                hit += 1
+        return hit, total
+
+    ph, pt = files_hit(plain, 0, 3)
+    zh, zt = files_hit(zpath, 0, 3)
+    assert ph == pt                  # x-sort: every file spans all y
+    assert zh * 2 <= zt              # z-order: a narrow y window prunes
+
+    # Morton key replay: interleave(x, y) over the whole grid
+    got = {(r["x"], r["y"]): r["z"] for r in df.select(
+        "x", "y", zorder_key(F.col("x"), F.col("y"), 6).alias("z")
+    ).collect()}
+    for (x, y), z in got.items():
+        exp = 0
+        for i in range(6):
+            exp |= ((x >> i) & 1) << (2 * i)
+            exp |= ((y >> i) & 1) << (2 * i + 1)
+        assert z == exp

@@ -141,3 +141,50 @@ def salted_join(
     )
     out = b.join(s, [key, "_salt"], how)
     return out.drop("_salt")
+
+
+def zorder_key(c1, c2, bits: int = 16):
+    """Morton/Z-order interleave of the low ``bits`` bits of two
+    NON-NEGATIVE integer columns -> one BIGINT sort key whose range
+    order is simultaneously local in BOTH dimensions — the multi-column
+    data-skipping layout (Delta/Iceberg OPTIMIZE ZORDER BY): range-
+    partitioning and sorting by this key gives every output file a
+    tight min/max bounding box on BOTH source columns, so parquet
+    row-group statistics prune scans filtered on EITHER column. A
+    plain two-column sort only clusters the leading column; the
+    trailing column's per-file range stays full-width and its filters
+    prune nothing.
+
+    Pure bit arithmetic (shiftright/&/shiftleft folded into one
+    column expression, whole-stage-codegen) — engine-replayable, so
+    the key itself is value-oracled in the driver contract. Values
+    must fit in ``bits`` bits (upstream-normalize: dictionary-encode,
+    or take ``pmod(x, 2**bits)`` accepting wraparound locality)."""
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        key = (
+            key
+            + F.shiftleft(F.shiftright(c1.cast("long"), i) % 2, 2 * i)
+            + F.shiftleft(F.shiftright(c2.cast("long"), i) % 2, 2 * i + 1)
+        )
+    return key.cast("long")
+
+
+def write_zordered(
+    df: DataFrame, path: str, c1: str, c2: str,
+    bits: int = 16, n_files: int = 16,
+) -> None:
+    """Materialize ``df`` range-partitioned and sorted by the Morton
+    key of (c1, c2): ``n_files``-way repartitionByRange on the key
+    (sampled range boundaries — balanced files even under skew) +
+    sortWithinPartitions, so every parquet file covers one compact
+    Z-curve segment = one tight 2-D bounding box. Readers need no
+    code change: parquet min/max stats on c1 AND c2 do the pruning."""
+    key = zorder_key(F.col(c1), F.col(c2), bits)
+    (
+        df.withColumn("_z", key)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite").parquet(path)
+    )
