@@ -3362,6 +3362,40 @@ CROSS JOIN total
 """
 
 
+def _q_length_quantiles(spark, sf_dir):
+    """Per-language token-count p50/p90/p99 over documents
+    (textops.group_quantiles — integer percentile_disc, the
+    truncation-budget report). FULL value oracle: DuckDB replays the
+    row_number rank and the (q*n+99) DIV 100 cut."""
+    from tortank_spark.textops import group_quantiles, token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return group_quantiles(
+        docs, "lang", token_count(F.col("text")), (50, 90, 99)
+    )
+
+
+_ORACLE_LENGTH_QUANTILES = """
+WITH tc AS (
+  SELECT lang,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+         END AS v
+  FROM documents
+),
+ranked AS (
+  SELECT lang, v,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY v) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM tc
+)
+SELECT lang, q.q_pct, CAST(v AS INT) AS value
+FROM ranked
+CROSS JOIN (SELECT unnest([50, 90, 99]) AS q_pct) q
+WHERE rn = (q.q_pct * n + 99) // 100
+"""
+
+
 def _q_boilerplate(spark, sf_dir):
     """Per-doc boilerplate share over documents, token units grouped
     by source (textops.boilerplate_stats: group-conditional document
@@ -3618,6 +3652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_split_assign": _q_split_assign,
         "text_collocations": _q_collocations,
         "text_boilerplate": _q_boilerplate,
+        "text_length_quantiles": _q_length_quantiles,
         "text_quality": _q_quality,
         "text_salient_terms": _q_salient_terms,
         "text_tfidf_topk": _q_tfidf_topk,
@@ -3844,6 +3879,7 @@ def oracle_sql() -> dict[str, str]:
         "text_split_assign": _ORACLE_SPLIT_ASSIGN,
         "text_collocations": _ORACLE_COLLOCATIONS,
         "text_boilerplate": _ORACLE_BOILERPLATE,
+        "text_length_quantiles": _ORACLE_LENGTH_QUANTILES,
         "mm_features": _ORACLE_MM_FEATURES,
         "mm_resize": _ORACLE_MM_RESIZE,
         "mm_frames": _ORACLE_MM_FRAMES,

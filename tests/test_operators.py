@@ -2272,3 +2272,23 @@ def test_kmeans_lloyd_empty_cluster_keeps_centroid(spark):
            for r in kmeans_lloyd(df, k=3, iters=2).collect()}
     # c1 inits identical to c0 -> all its would-be members tie to c0
     assert got == {0: 0, 1: 0, 2: 2, 3: 2}
+
+
+def test_group_quantiles_exact(spark):
+    """Discrete-percentile ranks pinned by hand on known groups,
+    including the n=1 group (every q maps to the only value) and
+    duplicate values at the cut."""
+    from tortank_spark.textops import group_quantiles
+
+    rows = [("a", v) for v in [10, 20, 30, 40, 50, 60, 70, 80, 90, 100]]
+    rows += [("b", 7)]
+    rows += [("c", v) for v in [5, 5, 5, 99]]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {(r["g"], r["q_pct"]): r["value"]
+           for r in group_quantiles(df, "g", "v", (50, 90, 99)).collect()}
+    assert got == {
+        ("a", 50): 50, ("a", 90): 90, ("a", 99): 100,
+        ("b", 50): 7, ("b", 90): 7, ("b", 99): 7,
+        # c: n=4 -> ranks ceil(2)=2, ceil(3.6)=4, ceil(3.96)=4
+        ("c", 50): 5, ("c", 90): 99, ("c", 99): 99,
+    }

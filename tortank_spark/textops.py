@@ -863,3 +863,42 @@ def boilerplate_stats(
             .alias("boiler_ppm"),
         )
     )
+
+
+def group_quantiles(
+    df: DataFrame, group_col: str, val_col,
+    qs: tuple[int, ...] = (50, 90, 99),
+) -> DataFrame:
+    """Exact discrete percentiles per group -> (group, q_pct, value):
+    the value at rank ``ceil(q*n/100)`` of the ascending sort — the
+    corpus length-distribution report (p50/p90/p99 tokens per
+    language) that sets truncation budgets and spots degenerate
+    slices. percentile_disc semantics, ALL integer: the rank formula
+    is ``(q*n + 99) DIV 100``, so the result is engine-exact where
+    interpolating (percentile_cont/float) variants diverge in last
+    bits between engines. The value at a fixed rank of a sorted
+    multiset is unique, so duplicate values need no tie-break.
+
+    Scale shape: one shuffle on the group, one sort-within-partition
+    serving both window functions, then a broadcast cross join with
+    the (tiny) q list filtered on the rank match. Exact per-group
+    quantiles inherently sort each group (a group must fit a task's
+    sort spill); at web scale you'd sample first or keep a sketch —
+    this is the exact-answer contract variant."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    val = val_col if not isinstance(val_col, str) else F.col(val_col)
+    base = df.select(F.col(group_col).alias("_g"), val.alias("_v"))
+    w = Window.partitionBy("_g").orderBy("_v")
+    ranked = (
+        base.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(Window.partitionBy("_g")))
+    )
+    qdf = spark.createDataFrame([(int(q),) for q in qs], "q_pct int")
+    return (
+        ranked.crossJoin(F.broadcast(qdf))
+        .filter(F.col("rn") == F.expr("(q_pct * n + 99) DIV 100"))
+        .select(F.col("_g").alias(group_col), "q_pct",
+                F.col("_v").alias("value"))
+    )
