@@ -2434,6 +2434,68 @@ FROM (
 """
 
 
+def _q_kcore(spark, sf_dir):
+    """35-core of the undirected supply KG (graph.kcore): at sf0.01
+    the peel cascades for 5 rounds before the 2,889-node fixpoint —
+    a real core/periphery separation, not a one-shot filter. FULL
+    value oracle: 16 unrolled MATERIALIZED rounds (idempotent after
+    convergence, so any budget >= the true round count is exact)."""
+    from tortank_spark.graph import kcore
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cp = orders.join(
+        li, orders["o_orderkey"] == li["l_orderkey"]
+    ).select(
+        F.concat(F.lit("c:"), F.col("o_custkey")).alias("src"),
+        F.concat(F.lit("p:"), F.col("l_partkey")).alias("dst"),
+    )
+    ps = li.select(
+        F.concat(F.lit("p:"), F.col("l_partkey")).alias("src"),
+        F.concat(F.lit("s:"), F.col("l_suppkey")).alias("dst"),
+    )
+    return kcore(cp.unionByName(ps), k=35)
+
+
+def _kcore_oracle_sql(k: int = 35, rounds: int = 16) -> str:
+    parts = []
+    for i in range(1, rounds + 1):
+        parts.append(f"""
+r{i} AS MATERIALIZED (
+  SELECT e.a AS node, count(*) AS deg
+  FROM e
+  JOIN r{i - 1} c1 ON e.a = c1.node
+  JOIN r{i - 1} c2 ON e.b = c2.node
+  GROUP BY e.a HAVING count(*) >= {k}
+)""")
+    return f"""
+WITH d AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT 'c:' || o_custkey AS src, 'p:' || l_partkey AS dst
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    UNION ALL
+    SELECT 'p:' || l_partkey, 's:' || l_suppkey FROM lineitem
+  )
+),
+e AS MATERIALIZED (
+  SELECT src AS a, dst AS b FROM d WHERE src <> dst
+  UNION
+  SELECT dst, src FROM d WHERE src <> dst
+),
+r0 AS MATERIALIZED (
+  SELECT a AS node, count(*) AS deg FROM e
+  GROUP BY a HAVING count(*) >= {k}
+),
+{','.join(parts)}
+SELECT node, deg FROM r{rounds}
+"""
+
+
+_ORACLE_KCORE = _kcore_oracle_sql(35, 16)
+
+
 def _q_label_prop(spark, sf_dir):
     """Region-label inference over the undirected supply KG
     (customer—part—supplier): suppliers are seeded with their
@@ -3620,6 +3682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_random_walks": _q_random_walks,
         "kg_coref_jaccard": _q_coref_jaccard,
         "kg_label_prop": _q_label_prop,
+        "kg_kcore": _q_kcore,
         "kg_transitive_closure": _q_transitive_closure,
         "kg_bfs_dist": _q_bfs_dist,
         "kg_negative_sample": _q_negative_sample,
@@ -3732,6 +3795,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_random_walks": _ORACLE_RANDOM_WALKS,
         "kg_coref_jaccard": _ORACLE_COREF_JACCARD,
         "kg_label_prop": _ORACLE_LABEL_PROP,
+        "kg_kcore": _ORACLE_KCORE,
         "kg_transitive_closure": _ORACLE_TRANSITIVE_CLOSURE,
         "kg_bfs_dist": _ORACLE_BFS_DIST,
         "kg_negative_sample": _ORACLE_NEGATIVE_SAMPLE,

@@ -2292,3 +2292,20 @@ def test_group_quantiles_exact(spark):
         # c: n=4 -> ranks ceil(2)=2, ceil(3.6)=4, ceil(3.96)=4
         ("c", 50): 5, ("c", 90): 99, ("c", 99): 99,
     }
+
+
+def test_kcore_peeling(spark):
+    """A 4-clique survives k=3, its pendant chain peels away in
+    CASCADE (the chain's inner node only drops after its outer
+    neighbor does); k above the max degree empties; in-core degrees
+    are recounted within the core."""
+    from tortank_spark.graph import kcore
+
+    clique = [(a, b) for a in "abcd" for b in "abcd" if a < b]
+    chain = [("d", "e"), ("e", "f"), ("f", "g")]
+    df = spark.createDataFrame(clique + chain, "src string, dst string")
+    got = {r["node"]: r["deg"] for r in kcore(df, k=3).collect()}
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3}  # d's chain edge gone
+    two = {r["node"]: r["deg"] for r in kcore(df, k=1).collect()}
+    assert set(two) == set("abcdefg")
+    assert kcore(df, k=10).collect() == []
