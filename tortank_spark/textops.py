@@ -824,6 +824,13 @@ def boilerplate_stats(
     unit's fan-in is bounded by its group's page count, so one domain
     cannot straggle the whole corpus."""
     sep = {"line": r"\n", "token": r"\s+"}[unit]
+    # small-file parallelism guard: a corpus that arrives as one tiny
+    # parquet file plans ONE input partition, serializing the explode
+    # (per-row work here is heavy: tokenization x threshold joins);
+    # at real scale many input files make this a no-op
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
     units = (
         df.select(
             F.col(group_col).alias("_g"), F.col(id_col).alias("_id"),
