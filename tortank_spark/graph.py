@@ -662,29 +662,39 @@ def clustering_coefficients(
     degree-1 nodes are defined 0. The 2*tri*scale product runs in
     DECIMAL(38,0) (a 10^9-degree celebrity's tri count can reach
     ~deg^2/2; the hits overflow discipline) and the quotient returns
-    to BIGINT."""
-    e = canonical_edges(edges, src, dst)
-    deg = (
-        e.select(F.col("a").alias("node"))
-        .unionAll(e.select(F.col("b").alias("node")))
-        .groupBy("node")
-        .agg(F.count("*").alias("deg"))
-    )
-    tri = triangle_counts(e, "a", "b")
-    return (
-        deg.join(tri, "node", "left")
-        .select(
-            "node", "deg",
-            F.coalesce("n_tri", F.lit(0)).cast("long").alias("n_tri"),
-            F.when(
-                F.col("deg") >= 2,
-                F.expr(
-                    f"CAST(CAST(coalesce(n_tri, 0) AS DECIMAL(38,0))"
-                    f" * 2 * {scale} DIV (deg * (deg - 1)) AS BIGINT)"
-                ),
-            ).otherwise(F.lit(0)).cast("long").alias("cc_ppm"),
+    to BIGINT.
+
+    The canonical edge set is persisted HERE and fed to both the
+    degree aggregate and triangle_counts: unpersisted, the expensive
+    upstream derivation (typically a distinct self-join) would run
+    twice — once under the triangle engine's own cache, once for the
+    degree branch."""
+    e = canonical_edges(edges, src, dst).persist()
+    try:
+        deg = (
+            e.select(F.col("a").alias("node"))
+            .unionAll(e.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("deg"))
         )
-    )
+        tri = triangle_counts(e, "a", "b")  # eager: materializes here
+        out = (
+            deg.join(tri, "node", "left")
+            .select(
+                "node", "deg",
+                F.coalesce("n_tri", F.lit(0)).cast("long").alias("n_tri"),
+                F.when(
+                    F.col("deg") >= 2,
+                    F.expr(
+                        f"CAST(CAST(coalesce(n_tri, 0) AS DECIMAL(38,0))"
+                        f" * 2 * {scale} DIV (deg * (deg - 1)) AS BIGINT)"
+                    ),
+                ).otherwise(F.lit(0)).cast("long").alias("cc_ppm"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        e.unpersist()
 
 
 def kcore(
