@@ -2593,6 +2593,41 @@ SELECT node, label FROM l{rounds}
 _ORACLE_LABEL_PROP = _label_prop_oracle_sql(3)
 
 
+def _q_fuzzy_alias(spark, sf_dir):
+    """Levenshtein<=1 alias pairs over customer names via FastSS
+    deletion-neighborhood blocking (linking.fuzzy_pairs) — the
+    surface-form co-reference feeder. FULL value oracle: DuckDB
+    rebuilds the deletion keys (1-based substr) and verifies with its
+    own levenshtein."""
+    from tortank_spark.linking import fuzzy_pairs
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return fuzzy_pairs(cust, "c_custkey", "c_name", max_dist=1)
+
+
+_ORACLE_FUZZY_ALIAS = """
+WITH base AS MATERIALIZED (
+  SELECT DISTINCT c_custkey AS id, c_name AS n
+  FROM customer WHERE c_name IS NOT NULL
+),
+keys AS MATERIALIZED (
+  SELECT id, n, unnest(list_distinct(list_append(
+    list_transform(range(1, length(n) + 1),
+                   i -> substr(n, 1, i - 1) || substr(n, i + 1)), n))) AS k
+  FROM base
+),
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.id AS a_id, b.id AS b_id,
+         a.n AS a_name, b.n AS b_name
+  FROM keys a JOIN keys b ON a.k = b.k AND a.id < b.id
+)
+SELECT a_id, b_id, a_name, b_name,
+       CAST(levenshtein(a_name, b_name) AS INT) AS dist
+FROM cand
+WHERE levenshtein(a_name, b_name) <= 1
+"""
+
+
 def _q_coref_jaccard(spark, sf_dir):
     """Structural co-reference candidates over the customer->part
     purchase graph: customer pairs whose part baskets overlap
@@ -3681,6 +3716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_hits": _q_hits,
         "kg_random_walks": _q_random_walks,
         "kg_coref_jaccard": _q_coref_jaccard,
+        "kg_fuzzy_alias": _q_fuzzy_alias,
         "kg_label_prop": _q_label_prop,
         "kg_kcore": _q_kcore,
         "kg_transitive_closure": _q_transitive_closure,
@@ -3794,6 +3830,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_hits": _ORACLE_HITS,
         "kg_random_walks": _ORACLE_RANDOM_WALKS,
         "kg_coref_jaccard": _ORACLE_COREF_JACCARD,
+        "kg_fuzzy_alias": _ORACLE_FUZZY_ALIAS,
         "kg_label_prop": _ORACLE_LABEL_PROP,
         "kg_kcore": _ORACLE_KCORE,
         "kg_transitive_closure": _ORACLE_TRANSITIVE_CLOSURE,

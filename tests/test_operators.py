@@ -2309,3 +2309,29 @@ def test_kcore_peeling(spark):
     two = {r["node"]: r["deg"] for r in kcore(df, k=1).collect()}
     assert set(two) == set("abcdefg")
     assert kcore(df, k=10).collect() == []
+
+
+def test_fuzzy_pairs_fastss(spark):
+    """Edit-distance-1 pairs found through every edit type (sub, ins,
+    del), distance-2 pairs rejected by the verify, exact duplicates
+    distance 0, canonical id order, max_df key cap drops the hot
+    group."""
+    from tortank_spark.linking import fuzzy_pairs
+
+    rows = [
+        (1, "acme corp"), (2, "acme carp"),   # substitution
+        (3, "acme corps"),                    # insertion vs 1
+        (4, "acme cor"),                      # deletion vs 1
+        (5, "acme xyzw"),                     # far away
+        (6, "acme corp"),                     # exact dup of 1
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = {(r["a_id"], r["b_id"]): r["dist"]
+           for r in fuzzy_pairs(df, "id", "name").collect()}
+    assert got[(1, 2)] == 1 and got[(1, 3)] == 1 and got[(1, 4)] == 1
+    assert got[(1, 6)] == 0
+    assert (2, 3) not in got          # dist 2: blocked or verified away
+    assert all(a < b for a, b in got)
+    assert not any(5 in p for p in got)
+    capped = fuzzy_pairs(df, "id", "name", max_df=1).collect()
+    assert capped == []               # every shared key exceeds df 1

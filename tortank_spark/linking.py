@@ -169,3 +169,66 @@ def neighborhood_jaccard(
         out = out.filter(F.col("jaccard_ppm") >= min_jaccard_ppm)
     return out.select("a", "b", "common", "deg_a", "deg_b",
                       "jaccard_ppm")
+
+
+def fuzzy_pairs(
+    df: DataFrame, id_col: str, name_col: str,
+    max_dist: int = 1, max_df: int | None = None,
+) -> DataFrame:
+    """Fuzzy string-match candidates -> (a_id, b_id, a_name, b_name,
+    dist): pairs of rows whose names are within Levenshtein distance
+    ``max_dist`` (default 1 — typos, OCR slips, singular/plural-ish
+    variants) — the surface-form side of alias canonicalization that
+    exact-match linking misses, feeding sameas_edges exactly like
+    neighborhood_jaccard feeds it from the structural side.
+
+    FastSS blocking (Bocek et al. 2007): each name is indexed under
+    itself plus every single-deletion variant; two strings within
+    edit distance 1 ALWAYS share such a key, so the candidate
+    equi-join on the key is exact-recall for max_dist=1 (for
+    max_dist=2 it is a strong prefilter; the verify step keeps
+    correctness either way). Candidates then verify with the exact
+    JVM ``levenshtein`` — which DuckDB also implements, so the whole
+    operator is value-oracled end to end.
+
+    Scale shape: key generation is one transform over positions (no
+    Python), the candidate join is an equi-join on the deletion key
+    with candidates deduplicated BEFORE the O(len^2) verify;
+    ``max_df`` optionally drops ultra-hot keys (turning exact recall
+    into documented approximate recall) when a pathological key — a
+    short common fragment — would quadratically explode one group."""
+    base = (
+        df.select(F.col(id_col).alias("_id"), F.col(name_col).alias("_n"))
+        .filter(F.col("_n").isNotNull())
+        .distinct()
+    )
+    dels = F.expr(
+        "transform(sequence(1, length(_n)),"
+        " i -> concat(substring(_n, 1, i - 1),"
+        "             substring(_n, i + 1, length(_n))))"
+    )
+    keys = base.select(
+        "_id", "_n",
+        F.explode(F.array_union(F.array(F.col("_n")), dels)).alias("_k"),
+    )
+    if max_df is not None:
+        ok = (
+            keys.groupBy("_k").agg(F.count("*").alias("_c"))
+            .filter(F.col("_c") <= max_df)
+            .select("_k")
+        )
+        keys = keys.join(ok, "_k", "left_semi")
+    a = keys.select(F.col("_id").alias("a_id"),
+                    F.col("_n").alias("a_name"), "_k")
+    b = keys.select(F.col("_id").alias("b_id"),
+                    F.col("_n").alias("b_name"), "_k")
+    cand = (
+        a.join(b, "_k")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "a_name", "b_name")
+        .distinct()
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("a_name", "b_name"))
+        .filter(F.col("dist") <= max_dist)
+    )
