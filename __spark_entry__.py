@@ -3684,6 +3684,194 @@ FROM fr
 """
 
 
+def _q_key_skew(spark, sf_dir):
+    """Exact heavy-hitter/skew report (profiling.key_skew) for
+    lineitem.l_partkey — the join key every co-purchase graph query
+    in this contract shuffles on, so this IS the measurement that
+    would size its salting factor at 100 TB. Top-50 keys by exact
+    count with deterministic (n desc, key asc) rank, integer-ppm
+    shares, and the global max-over-mean skew ratio. FULL value
+    oracle: DuckDB replays the count, the rank window, and the
+    integer arithmetic."""
+    from tortank_spark.profiling import key_skew
+
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey")
+    return key_skew(li, "l_partkey", top_k=50)
+
+
+_ORACLE_KEY_SKEW = """
+WITH counts AS (
+  SELECT CAST(l_partkey AS VARCHAR) AS key, count(*) AS n
+  FROM lineitem GROUP BY 1
+),
+tot AS (
+  SELECT sum(n) AS total_rows, count(*) AS n_keys, max(n) AS max_n
+  FROM counts
+),
+ranked AS (
+  SELECT key, n,
+         row_number() OVER (ORDER BY n DESC, key ASC) AS rank
+  FROM counts
+)
+SELECT r.key, r.n, r.rank,
+       CAST(r.n * 1000000 // t.total_rows AS BIGINT) AS share_ppm,
+       CAST(t.total_rows AS BIGINT) AS total_rows,
+       CAST(t.n_keys AS BIGINT) AS n_keys,
+       CAST(t.max_n * 1000000 * t.n_keys // t.total_rows AS BIGINT)
+         AS skew_ppm
+FROM ranked r CROSS JOIN tot t WHERE r.rank <= 50
+"""
+
+
+def _q_latest_facts(spark, sf_dir):
+    """Crawl-freshness last-wins merge (freshness.latest_facts): the
+    orders table read as an observation log — each order is a dated
+    page asserting its customer's current order status — collapsed to
+    the per-(subject, predicate) snapshot: newest observation wins,
+    (ts, o, src) total order breaks same-day ties deterministically,
+    plus first/last seen, observation count, and the distinct-object
+    contestedness signal. FULL value oracle: DuckDB replays the
+    winner window and the history aggregate."""
+    from tortank_spark.freshness import latest_facts
+
+    o = _t(spark, sf_dir, "orders")
+    facts = o.select(
+        F.concat(F.lit("c:"), F.col("o_custkey")).alias("s"),
+        F.lit("urn:rel:lastOrderStatus").alias("p"),
+        F.col("o_orderstatus").alias("o"),
+        F.concat(F.lit("urn:order:"), F.col("o_orderkey")).alias("src"),
+        F.col("o_orderdate").alias("ts"),
+    )
+    return latest_facts(facts)
+
+
+_ORACLE_LATEST_FACTS = """
+WITH facts AS (
+  SELECT 'c:' || o_custkey AS s,
+         'urn:rel:lastOrderStatus' AS p,
+         o_orderstatus AS o,
+         'urn:order:' || o_orderkey AS src,
+         o_orderdate AS ts
+  FROM orders
+),
+win AS (
+  SELECT s, p, o, src, ts,
+         row_number() OVER (
+           PARTITION BY s, p ORDER BY ts DESC, o DESC, src DESC
+         ) AS rn
+  FROM facts
+),
+hist AS (
+  SELECT s, p, min(ts) AS first_seen, count(*) AS n_obs,
+         count(DISTINCT o) AS n_distinct_o
+  FROM facts GROUP BY s, p
+)
+SELECT w.s, w.p, w.o AS o_latest, w.src AS src_latest,
+       w.ts AS last_seen, h.first_seen,
+       CAST(h.n_obs AS BIGINT) AS n_obs,
+       CAST(h.n_distinct_o AS BIGINT) AS n_distinct_o
+FROM win w JOIN hist h ON w.s = h.s AND w.p = h.p
+WHERE w.rn = 1
+"""
+
+
+def _q_harmonic(spark, sf_dir):
+    """Seeded harmonic centrality (graph.harmonic_centrality) over
+    the undirected part co-purchase graph (same edge derivation as
+    kg_bfs_dist), seeds partkey < 10, depth <= 4: per node, the sum
+    of scale DIV dist over the seeds that reach it — proximity-to-
+    cohort ranking, the distance-based complement of kg_ppr. FULL
+    value oracle: DuckDB recursive CTE explores per-seed (node, d)
+    pairs, takes min(d), and replays the integer harmonic sum."""
+    from tortank_spark.graph import harmonic_centrality
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pairs = li.distinct()
+    l1 = pairs.select("l_orderkey", F.col("l_partkey").alias("src"))
+    l2 = pairs.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    e = l1.join(l2, "l_orderkey").filter(
+        F.col("src") != F.col("dst")
+    ).select("src", "dst")
+    seeds = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < 10)
+        .select(F.col("p_partkey").alias("node"))
+    )
+    return harmonic_centrality(e, seeds, max_depth=4)
+
+
+_ORACLE_HARMONIC = """
+WITH RECURSIVE pairs AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+e AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst
+  FROM pairs a JOIN pairs b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey <> b.l_partkey
+),
+walk(seed, node, d) AS (
+  SELECT p_partkey, p_partkey, 0 FROM part WHERE p_partkey < 10
+  UNION
+  SELECT walk.seed, e.dst, walk.d + 1
+  FROM e JOIN walk ON e.src = walk.node
+  WHERE walk.d < 4
+),
+md AS (
+  SELECT seed, node, min(d) AS dist FROM walk GROUP BY seed, node
+)
+SELECT node, CAST(count(*) AS BIGINT) AS n_reached_from,
+       CAST(sum(1000000 // dist) AS BIGINT) AS harmonic_ppm
+FROM md WHERE dist > 0 GROUP BY node
+"""
+
+
+def _q_reciprocity(spark, sf_dir):
+    """Per-node link reciprocity (graph.reciprocity) over a DIRECTED
+    part-succession graph: within each order, an edge from the part
+    at line n to the part at line n+1 (pick-sequence direction), so
+    reciprocal pairs are successions observed in BOTH orders across
+    the corpus — the reciprocal-linking ring detector re-expressed on
+    the supply KG. FULL value oracle: DuckDB rebuilds the directed
+    edge set and replays the reverse-match semi-join and the integer
+    ppm arithmetic."""
+    from tortank_spark.graph import reciprocity
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey")
+    a = li.select("l_orderkey", F.col("l_linenumber").alias("n1"),
+                  F.col("l_partkey").alias("src"))
+    b = li.select("l_orderkey", F.col("l_linenumber").alias("n2"),
+                  F.col("l_partkey").alias("dst"))
+    e = a.join(b, "l_orderkey").filter(
+        (F.col("n2") == F.col("n1") + 1)
+        & (F.col("src") != F.col("dst"))
+    ).select("src", "dst")
+    return reciprocity(e)
+
+
+_ORACLE_RECIPROCITY = """
+WITH ed AS (
+  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey
+   AND b.l_linenumber = a.l_linenumber + 1
+  WHERE a.l_partkey <> b.l_partkey
+),
+outd AS (SELECT a AS node, count(*) AS out_deg FROM ed GROUP BY a),
+rec AS (
+  SELECT e.a AS node, count(*) AS n_reciprocal
+  FROM ed e
+  WHERE EXISTS (SELECT 1 FROM ed r WHERE r.a = e.b AND r.b = e.a)
+  GROUP BY e.a
+)
+SELECT o.node, CAST(o.out_deg AS BIGINT) AS out_deg,
+       CAST(coalesce(r.n_reciprocal, 0) AS BIGINT) AS n_reciprocal,
+       CAST(coalesce(r.n_reciprocal, 0) * 1000000 // o.out_deg
+            AS BIGINT) AS recip_ppm
+FROM outd o LEFT JOIN rec r ON o.node = r.node
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_extract_turtle": _q_extract_turtle,
@@ -3773,6 +3961,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_features": _q_multimodal_features,
         "mm_resize": _q_mm_resize,
         "mm_frames": _q_mm_frames,
+        "prof_key_skew": _q_key_skew,
+        "kg_latest_facts": _q_latest_facts,
+        "kg_harmonic": _q_harmonic,
+        "kg_reciprocity": _q_reciprocity,
     }
 
 
@@ -3984,6 +4176,10 @@ def oracle_sql() -> dict[str, str]:
         "mm_features": _ORACLE_MM_FEATURES,
         "mm_resize": _ORACLE_MM_RESIZE,
         "mm_frames": _ORACLE_MM_FRAMES,
+        "prof_key_skew": _ORACLE_KEY_SKEW,
+        "kg_latest_facts": _ORACLE_LATEST_FACTS,
+        "kg_harmonic": _ORACLE_HARMONIC,
+        "kg_reciprocity": _ORACLE_RECIPROCITY,
         "events_sessionize": _ORACLE_SESSIONS,
         "events_asof_join": _ORACLE_EVENTS_ASOF,
         "events_scd2_history": _ORACLE_SCD2,

@@ -2335,3 +2335,98 @@ def test_fuzzy_pairs_fastss(spark):
     assert not any(5 in p for p in got)
     capped = fuzzy_pairs(df, "id", "name", max_df=1).collect()
     assert capped == []               # every shared key exceeds df 1
+
+
+def test_key_skew_exact_report(spark):
+    """Exact counts, deterministic rank tie-break (n desc, key asc),
+    integer ppm shares, and the max-over-mean skew factor on a
+    hand-computable distribution; top_k truncates."""
+    from tortank_spark.profiling import key_skew
+
+    rows = [("hot",)] * 6 + [("warm",)] * 3 + [("a",)] * 3 + [("z",)] * 2
+    df = spark.createDataFrame(rows, "k string")
+    got = key_skew(df, "k", top_k=3).collect()
+    assert [(r["key"], r["n"], r["rank"]) for r in got] == [
+        ("hot", 6, 1), ("a", 3, 2), ("warm", 3, 3)  # tie: a < warm
+    ]
+    r0 = got[0]
+    assert r0["total_rows"] == 14 and r0["n_keys"] == 4
+    assert r0["share_ppm"] == 6 * 1_000_000 // 14
+    # skew = max_n * n_keys * 1e6 DIV total = 6*4*1e6 DIV 14
+    assert r0["skew_ppm"] == 6 * 4 * 1_000_000 // 14
+    assert got[1]["share_ppm"] == 3 * 1_000_000 // 14
+
+
+def test_latest_facts_last_wins(spark):
+    """Winner is max(ts, o, src): newest timestamp wins; equal
+    timestamps break to larger o then larger src; history stats
+    (first/last seen, n_obs, n_distinct_o) are exact."""
+    import datetime as dt
+
+    from tortank_spark.freshness import latest_facts
+
+    t1 = dt.datetime(2026, 1, 1)
+    t2 = dt.datetime(2026, 2, 1)
+    rows = [
+        ("e1", "name", "Alpha", "u1", t1),
+        ("e1", "name", "Beta", "u2", t2),     # newest -> wins
+        ("e1", "name", "Alpha", "u3", t1),    # old repeat
+        ("e2", "name", "X", "u1", t2),
+        ("e2", "name", "Y", "u2", t2),        # tie ts -> larger o wins
+        ("e3", "name", "Q", "u9", t1),
+        ("e3", "name", "Q", "u1", t1),        # tie ts+o -> larger src
+    ]
+    df = spark.createDataFrame(
+        rows, "s string, p string, o string, src string, ts timestamp")
+    got = {r["s"]: r for r in latest_facts(df).collect()}
+    assert got["e1"]["o_latest"] == "Beta"
+    assert got["e1"]["src_latest"] == "u2"
+    assert got["e1"]["first_seen"] == t1
+    assert got["e1"]["last_seen"] == t2
+    assert got["e1"]["n_obs"] == 3 and got["e1"]["n_distinct_o"] == 2
+    assert got["e2"]["o_latest"] == "Y"
+    assert got["e3"]["o_latest"] == "Q" and got["e3"]["src_latest"] == "u9"
+
+
+def test_harmonic_centrality_seeded(spark):
+    """Two seeds over a directed path graph: contributions are
+    scale DIV dist summed per node over the seeds that reach it;
+    seeds at dist 0 contribute nothing; depth cap truncates;
+    unreachable nodes absent."""
+    from tortank_spark.graph import harmonic_centrality
+
+    # s1 -> a -> b -> c ; s2 -> b ; island x -> y
+    edges = [("s1", "a"), ("a", "b"), ("b", "c"), ("s2", "b"),
+             ("x", "y")]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    seeds = spark.createDataFrame([("s1",), ("s2",)], "node string")
+    got = {r["node"]: (r["n_reached_from"], r["harmonic_ppm"])
+           for r in harmonic_centrality(e, seeds, max_depth=4).collect()}
+    M = 1_000_000
+    assert got["a"] == (1, M)                    # s1 at d=1
+    assert got["b"] == (2, M // 2 + M)           # s1 d=2, s2 d=1
+    assert got["c"] == (2, M // 3 + M // 2)      # s1 d=3, s2 d=2
+    assert "x" not in got and "y" not in got
+    assert "s1" not in got and "s2" not in got   # d=0 excluded
+    capped = {r["node"]: r["harmonic_ppm"]
+              for r in harmonic_centrality(e, seeds,
+                                           max_depth=1).collect()}
+    assert capped == {"a": M, "b": M}
+
+
+def test_reciprocity_per_node(spark):
+    """Mutual pairs counted exactly, one-way links not, self-loops
+    and duplicate rows excluded; ppm is integer-exact."""
+    from tortank_spark.graph import reciprocity
+
+    edges = [("a", "b"), ("b", "a"),            # mutual
+             ("a", "c"), ("a", "c"),            # one-way (dup row)
+             ("c", "d"), ("d", "c"),            # mutual
+             ("d", "d")]                        # self-loop dropped
+    e = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: (r["out_deg"], r["n_reciprocal"], r["recip_ppm"])
+           for r in reciprocity(e).collect()}
+    assert got["a"] == (2, 1, 500_000)   # a->b mutual, a->c not
+    assert got["b"] == (1, 1, 1_000_000)
+    assert got["c"] == (1, 1, 1_000_000)  # c->d mutual; a->c is inbound
+    assert got["d"] == (1, 1, 1_000_000)  # self-loop dropped

@@ -546,3 +546,60 @@ def test_zorder_layout_prunes_on_both_columns(spark, tmp_path_factory):
             exp |= ((x >> i) & 1) << (2 * i)
             exp |= ((y >> i) & 1) << (2 * i + 1)
         assert z == exp
+
+
+def test_key_skew_topk_is_distributed_and_total_is_broadcast(spark):
+    """key_skew's top-k must plan as TakeOrderedAndProject (per-
+    partition heaps — never a global sort of the full key-count
+    table), and the 1-row totals side must come back as a broadcast
+    join, not a shuffled one."""
+    from tortank_spark.profiling import key_skew
+
+    df = spark.createDataFrame(
+        [(i % 7,) for i in range(100)], "k long")
+    plan = plan_of(key_skew(df, "k", top_k=5))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_latest_facts_single_shuffle_no_window(spark):
+    """latest_facts is ONE shuffle on (s, p) and the winner is an
+    aggregate (map-side partial combine), never a row_number window —
+    a celebrity subject must reduce tree-style, not sort inside one
+    partition."""
+    import datetime as dt
+
+    from tortank_spark.freshness import latest_facts
+
+    rows = [("s", "p", f"o{i}", f"u{i}", dt.datetime(2026, 1, 1))
+            for i in range(8)]
+    df = spark.createDataFrame(
+        rows, "s string, p string, o string, src string, ts timestamp")
+    plan = plan_of(latest_facts(df))
+    assert "Window" not in plan
+    # the countDistinct expand rides the same grouping: hashpartitioning
+    # on (s, p) appears, and no second independent shuffle key does
+    assert "hashpartitioning(s" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_harmonic_and_reciprocity_equi_joins_only(spark):
+    """harmonic_centrality's frontier join keys on the vertex id
+    (seed rides as payload) and reciprocity's reverse-match is a
+    semi equi-join — neither may degenerate to all-pairs geometry."""
+    from tortank_spark.graph import harmonic_centrality, reciprocity
+
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 8) for i in range(8)] + [(0, 5), (5, 0)],
+        "src long, dst long",
+    )
+    seeds = spark.createDataFrame([(0,), (4,)], "node long")
+    for df in (
+        harmonic_centrality(edges, seeds, max_depth=2),
+        reciprocity(edges),
+    ):
+        plan = plan_of(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan

@@ -764,3 +764,131 @@ def kcore(
         return cur
     finally:
         e.unpersist()
+
+
+def harmonic_centrality(
+    edges: DataFrame, seeds: DataFrame,
+    src: str = "src", dst: str = "dst", node: str = "node",
+    max_depth: int = 4, scale: int = 1_000_000,
+) -> DataFrame:
+    """Seeded harmonic centrality -> (node, n_reached_from,
+    harmonic_ppm): for every node reachable from the seed COHORT
+    within ``max_depth`` hops, sum(scale DIV d(seed, node)) over the
+    seeds that reach it (Boldi & Vigna 2014's harmonic variant of
+    closeness, restricted to a seed set the way personalized PageRank
+    restricts teleport) — proximity-to-cohort ranking: "which
+    entities sit structurally closest to these known-good seeds",
+    the distance-based complement of pagerank(seeds=...)'s
+    random-walk prior. Unreachable (seed, node) pairs contribute 0
+    (the property that makes harmonic centrality well-defined on
+    disconnected web graphs where classic closeness is not); d=0
+    (the node IS a seed) contributes nothing.
+
+    PER-SEED labeled frontier BFS: the frontier carries (seed, node)
+    pairs, so one sweep computes all seeds' distance fields at once —
+    |seeds| times the bfs_distances state, NOT |seeds| sequential
+    jobs. First visit per (seed, node) is the minimal distance (the
+    bfs_distances argument), so no min-recomputation. All integer
+    arithmetic (scale DIV d), so the result value-hashes and the
+    DuckDB oracle replays it exactly.
+
+    Scale shape: per round ONE equi-join of the frontier against the
+    persisted edge table on the vertex id (seed rides along as
+    payload — the join key stays the vertex, so seed count does not
+    change join geometry, only frontier width), one distinct, one
+    anti-join against visited on (seed, node); lineage truncated per
+    round. Final rollup is one map-side-combinable sum per node.
+    Seed count is the knob: cost ~ |seeds| x BFS(depth), intended
+    for cohort-sized (10s-100s) seed sets."""
+    e = (
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .filter(F.col("_s").isNotNull() & F.col("_d").isNotNull())
+        .distinct()
+        .persist()
+    )
+    try:
+        frontier = seeds.select(F.col(node).alias("seed")).distinct(
+        ).withColumn("node", F.col("seed"))
+        visited = frontier.withColumn(
+            "dist", F.lit(0).cast("long")
+        ).localCheckpoint(eager=False)
+        for depth in range(1, max_depth + 1):
+            nxt = (
+                frontier.join(e, frontier["node"] == e["_s"])
+                .select("seed", F.col("_d").alias("node"))
+                .distinct()
+                .join(visited.select("seed", "node"),
+                      ["seed", "node"], "left_anti")
+                .localCheckpoint(eager=False)
+            )
+            if nxt.agg(F.count("*")).collect()[0][0] == 0:
+                break
+            visited = visited.unionByName(
+                nxt.withColumn("dist", F.lit(depth).cast("long"))
+            ).localCheckpoint(eager=False)
+            frontier = nxt
+        return (
+            visited.filter(F.col("dist") > 0)
+            .groupBy("node")
+            .agg(
+                F.count("*").alias("n_reached_from"),
+                F.sum(
+                    F.expr(f"CAST({scale} AS BIGINT) DIV dist")
+                ).alias("harmonic_ppm"),
+            )
+        )
+    finally:
+        e.unpersist()
+
+
+def reciprocity(
+    edges: DataFrame, src: str = "src", dst: str = "dst",
+) -> DataFrame:
+    """Per-node link reciprocity -> (node, out_deg, n_reciprocal,
+    recip_ppm): of a node's distinct out-edges, how many are matched
+    by the reverse edge (Garlaschelli & Loffredo 2004's reciprocity,
+    reported per node in exact integer ppm). On web/KG graphs the
+    global rate is low and organic; near-1e6 nodes are reciprocal-
+    linking rings (link farms, mirror pairs) — the directed
+    complement of clustering_coefficients' triangle-density signal,
+    and one of the classic SEO-spam features.
+
+    Deterministic and integer-exact (n_reciprocal * 1e6 DIV out_deg).
+    Scale shape: the distinct edge set feeds all three uses of the
+    plan (out-degrees, semi-join probe, reverse side) from ONE
+    shuffle — the subtrees are identical, so Spark's ReusedExchange
+    dedupes them at the physical level (no persist needed: this
+    function materializes nothing internally, so a cache here would
+    be released before the caller ever ran — the round-4 cache-
+    lifetime lesson). The reverse-match test is a left-semi equi-join
+    of the edge table against its own (dst, src) projection on the
+    full (src, dst) pair — output bounded by the probe side,
+    AQE-splittable — then one map-side-combinable count per node,
+    left-joined onto the out-degree table (also one aggregate).
+    Self-loops are excluded (trivially reciprocal)."""
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    out_deg = e.groupBy(F.col("a").alias("node")).agg(
+        F.count("*").alias("out_deg"))
+    rev = e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    recip = (
+        e.join(rev, ["a", "b"], "left_semi")
+        .groupBy(F.col("a").alias("node"))
+        .agg(F.count("*").alias("n_reciprocal"))
+    )
+    return (
+        out_deg.join(recip, "node", "left")
+        .select(
+            "node", "out_deg",
+            F.coalesce(F.col("n_reciprocal"), F.lit(0))
+            .cast("long").alias("n_reciprocal"),
+            F.expr(
+                "coalesce(n_reciprocal, CAST(0 AS BIGINT))"
+                " * CAST(1000000 AS BIGINT) DIV out_deg"
+            ).alias("recip_ppm"),
+        )
+    )

@@ -58,3 +58,58 @@ def inlink_profile(
         "iri", "n_inlinks", "n_subjects", "n_preds",
         "top_pred", "top_pred_n",
     )
+
+
+def key_skew(
+    df: DataFrame, key: str, top_k: int = 50,
+) -> DataFrame:
+    """Exact heavy-hitter / skew report for a prospective shuffle or
+    partition key -> (key, n, rank, share_ppm, total_rows, n_keys,
+    skew_ppm): the top-``top_k`` hottest key values with their exact
+    row counts, each key's share of the table in ppm, and the global
+    max-over-mean skew ratio in ppm — the measurement that decides a
+    salting factor / AQE skew threshold BEFORE the expensive join
+    runs, instead of discovering the celebrity key from a straggler
+    task. (tortank holds one document in memory and has no analogue;
+    this is the operational complement the 100-TB layout tools in
+    storage.py plan from.)
+
+    Deterministic: ties in n break to the smallest key string, so the
+    report value-hashes. Scale shape: one map-side-combinable count
+    per key (the only shuffle, on the audited key itself — at
+    pathological skew the combiner has already collapsed each hot key
+    to one row per input partition), ONE 1-row global aggregate
+    broadcast back by cross join, and the top-k as orderBy+limit,
+    which Spark plans as TakeOrderedAndProject (per-partition heaps,
+    never a global sort). All ratios in exact integer ppm (x * 1e6
+    DIV total), engine-reproducible.
+    """
+    counts = df.select(F.col(key).cast("string").alias("key")).groupBy(
+        "key").agg(F.count("*").alias("n"))
+    totals = counts.agg(
+        F.sum("n").alias("total_rows"),
+        F.count("*").alias("n_keys"),
+        F.max("n").alias("_max_n"),
+    )
+    top = (
+        counts.orderBy(F.col("n").desc(), F.col("key").asc())
+        .limit(top_k)
+    )
+    from pyspark.sql import Window
+
+    rank = F.row_number().over(
+        Window.orderBy(F.col("n").desc(), F.col("key").asc())
+    )
+    return (
+        top.crossJoin(F.broadcast(totals))
+        .withColumn("rank", rank.cast("long"))
+        .select(
+            "key", "n", "rank",
+            F.expr("n * CAST(1000000 AS BIGINT) DIV total_rows")
+            .alias("share_ppm"),
+            "total_rows", "n_keys",
+            F.expr(
+                "_max_n * CAST(1000000 AS BIGINT) * n_keys DIV total_rows"
+            ).alias("skew_ppm"),
+        )
+    )
