@@ -3872,6 +3872,203 @@ FROM outd o LEFT JOIN rec r ON o.node = r.node
 """
 
 
+_SCHEMA_ORG = "http://schema.org/"
+_RDF_TYPE_IRI = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+def _jsonld_pages(spark, sf_dir):
+    """Deterministic page per customer row embedding ONE JSON-LD
+    island (schema.org Person with a nested PostalAddress node, a
+    language-tagged value object, and an integer property) — the
+    north star's 'embedded JSON-LD in page text' input, synthesized
+    with pure column exprs from the customer table so the oracle can
+    reconstruct every expected triple in SQL."""
+    customer = _t(spark, sf_dir, "customer")
+    text = F.concat(
+        F.lit('<html><head><script type="application/ld+json">'
+              '{"@context": {"schema": "' + _SCHEMA_ORG + '", '
+              '"@vocab": "' + EX + 'ns#"}, '
+              '"@id": "' + EX + 'customer/'), F.col("c_custkey"),
+        F.lit('", "@type": "schema:Person", '
+              '"schema:name": "'), F.col("c_name"),
+        F.lit('", "nationkey": '), F.col("c_nationkey"),
+        F.lit(', "mktsegment": {"@value": "'), F.col("c_mktsegment"),
+        F.lit('", "@language": "en"}, '
+              '"address": {"@type": "schema:PostalAddress", '
+              '"schema:postalCode": "Z'), F.col("c_custkey") % 100,
+        F.lit('"}}</script></head><body>no rdf here</body></html>'),
+    )
+    return customer.select(
+        F.concat(F.lit("urn:cust:"), F.col("c_custkey")).alias("url"),
+        text.alias("text"),
+    )
+
+
+def _q_extract_jsonld(spark, sf_dir):
+    """JSON-LD island extraction (jsonld.extract_jsonld): scoped
+    JSON-LD 1.0 expansion — @context term/prefix/@vocab resolution,
+    @id/@type, nested node -> per-doc blank node, @value/@language,
+    JSON scalar typing — emitting the same flat triple tuples as the
+    Turtle grammar. fixture_mode labels nested bnodes _:1 per doc
+    (url keeps rows distinct), exactly as the oracle replays. FULL
+    value oracle: DuckDB reconstructs all 7 triples per customer."""
+    from tortank_spark.jsonld import extract_jsonld
+
+    ext = extract_jsonld(_jsonld_pages(spark, sf_dir), fixture_mode=True)
+    return ext.filter(F.col("parse_ok") & F.col("s").isNotNull()).select(
+        "url", "s", "p", "o",
+        F.col("o_datatype").alias("o_dt"), F.col("o_lang"),
+    )
+
+
+_ORACLE_EXTRACT_JSONLD = f"""
+WITH c AS (
+  SELECT 'urn:cust:' || c_custkey AS url,
+         '{EX}customer/' || c_custkey AS s,
+         c_custkey, c_name, c_nationkey, c_mktsegment
+  FROM customer
+)
+SELECT url, s, '{_RDF_TYPE_IRI}' AS p, '{_SCHEMA_ORG}Person' AS o,
+       CAST(NULL AS VARCHAR) AS o_dt, CAST(NULL AS VARCHAR) AS o_lang
+FROM c
+UNION ALL
+SELECT url, s, '{_SCHEMA_ORG}name', c_name, '{XSD}string', NULL FROM c
+UNION ALL
+SELECT url, s, '{EX}ns#nationkey', CAST(c_nationkey AS VARCHAR),
+       '{XSD}integer', NULL FROM c
+UNION ALL
+SELECT url, s, '{EX}ns#mktsegment', c_mktsegment, NULL, 'en' FROM c
+UNION ALL
+SELECT url, s, '{EX}ns#address', '_:1', NULL, NULL FROM c
+UNION ALL
+SELECT url, '_:1', '{_RDF_TYPE_IRI}', '{_SCHEMA_ORG}PostalAddress',
+       NULL, NULL FROM c
+UNION ALL
+SELECT url, '_:1', '{_SCHEMA_ORG}postalCode', 'Z' || (c_custkey % 100),
+       '{XSD}string', NULL FROM c
+"""
+
+
+def _rdfa_pages(spark, sf_dir):
+    """Deterministic RDFa-Lite page per supplier row: vocab + prefix
+    CURIEs, about/typeof subject, text-content literal, typed meta
+    content, href IRI object, and a property+typeof chained blank
+    node — the Lite attribute set over well-formed markup."""
+    supplier = _t(spark, sf_dir, "supplier")
+    text = F.concat(
+        F.lit('<html><body vocab="' + _SCHEMA_ORG + '" '
+              'prefix="ex: ' + EX + 'ns#">'
+              '<div about="' + EX + 'supplier/'), F.col("s_suppkey"),
+        F.lit('" typeof="Organization">'
+              '<span property="name">'), F.col("s_name"),
+        F.lit('</span>'
+              '<meta property="ex:nationkey" content="'),
+        F.col("s_nationkey"),
+        F.lit('" datatype="' + XSD + 'integer">'
+              '<a property="url" href="' + EX + 'org/'),
+        F.col("s_suppkey"),
+        F.lit('">homepage</a>'
+              '<div property="ex:contact" typeof="ContactPoint">'
+              '<span property="telephone" lang="en">tel-'),
+        F.col("s_suppkey"), F.lit("-"), F.col("s_nationkey"),
+        F.lit('</span></div></div></body></html>'),
+    )
+    return supplier.select(
+        F.concat(F.lit("urn:supp:"), F.col("s_suppkey")).alias("url"),
+        text.alias("text"),
+    )
+
+
+def _q_extract_rdfa(spark, sf_dir):
+    """RDFa-Lite extraction (rdfa.extract_rdfa): single-pass HTML tag
+    scanner with inherited vocab/prefix/lang state, about/typeof
+    subjects, property objects from resource|href|content|text, and
+    property+typeof blank-node chaining. FULL value oracle: DuckDB
+    reconstructs all 7 triples per supplier (text-content literals
+    replayed with the same explicit whitespace-normalization)."""
+    from tortank_spark.rdfa import extract_rdfa
+
+    ext = extract_rdfa(_rdfa_pages(spark, sf_dir), fixture_mode=True)
+    return ext.filter(F.col("parse_ok") & F.col("s").isNotNull()).select(
+        "url", "s", "p", "o",
+        F.col("o_datatype").alias("o_dt"), F.col("o_lang"),
+    )
+
+
+_ORACLE_EXTRACT_RDFA = f"""
+WITH sup AS (
+  SELECT 'urn:supp:' || s_suppkey AS url,
+         '{EX}supplier/' || s_suppkey AS s,
+         s_suppkey,
+         trim(regexp_replace(s_name, '\\s+', ' ', 'g')) AS name_norm,
+         s_nationkey,
+         'tel-' || s_suppkey || '-' || s_nationkey AS phone_norm
+  FROM supplier
+)
+SELECT url, s, '{_RDF_TYPE_IRI}' AS p, '{_SCHEMA_ORG}Organization' AS o,
+       CAST(NULL AS VARCHAR) AS o_dt, CAST(NULL AS VARCHAR) AS o_lang
+FROM sup
+UNION ALL
+SELECT url, s, '{_SCHEMA_ORG}name', name_norm, '{XSD}string', NULL FROM sup
+UNION ALL
+SELECT url, s, '{EX}ns#nationkey', CAST(s_nationkey AS VARCHAR),
+       '{XSD}integer', NULL FROM sup
+UNION ALL
+SELECT url, s, '{_SCHEMA_ORG}url', '{EX}org/' || s_suppkey, NULL, NULL
+FROM sup
+UNION ALL
+SELECT url, s, '{EX}ns#contact', '_:1', NULL, NULL FROM sup
+UNION ALL
+SELECT url, '_:1', '{_RDF_TYPE_IRI}', '{_SCHEMA_ORG}ContactPoint',
+       NULL, NULL FROM sup
+UNION ALL
+SELECT url, '_:1', '{_SCHEMA_ORG}telephone', phone_norm, NULL, 'en'
+FROM sup
+"""
+
+
+def _q_extract_embedded(spark, sf_dir):
+    """Unified embedded-KG extraction over a MIXED corpus — the north
+    star's literal phrase 'embedded RDFa/JSON-LD/Turtle in page text'
+    as one operator (extract.extract_embedded): Turtle pages from
+    nation, JSON-LD pages from customer, RDFa pages from supplier,
+    one union of flat triples tagged with the source syntax. Each
+    syntax path is the same Arrow stage as its standalone query; the
+    union is plan-level (no shuffle added). FULL value oracle: the
+    union of the three reconstructions."""
+    from tortank_spark.extract import extract_embedded
+
+    pages = (
+        _nation_pages(spark, sf_dir)
+        .unionByName(_jsonld_pages(spark, sf_dir))
+        .unionByName(_rdfa_pages(spark, sf_dir))
+    )
+    t = extract_embedded(pages, fixture_mode=True)
+    return t.select(
+        "syntax", "url", "s", "p", "o",
+        F.col("o_datatype").alias("o_dt"), F.col("o_lang"),
+    )
+
+
+_ORACLE_EXTRACT_EMBEDDED = f"""
+SELECT 'turtle' AS syntax, 'urn:nation:' || n_nationkey AS url,
+       '{EX}nation/' || n_nationkey AS s, '{EX}ns#name' AS p,
+       n_name AS o, '{XSD}string' AS o_dt, CAST(NULL AS VARCHAR) AS o_lang
+FROM nation
+UNION ALL
+SELECT 'turtle', 'urn:nation:' || n_nationkey,
+       '{EX}nation/' || n_nationkey, '{EX}ns#regionkey',
+       CAST(n_regionkey AS VARCHAR), '{XSD}integer', NULL
+FROM nation
+UNION ALL
+SELECT 'jsonld', url, s, p, o, o_dt, o_lang
+FROM ({_ORACLE_EXTRACT_JSONLD})
+UNION ALL
+SELECT 'rdfa', url, s, p, o, o_dt, o_lang
+FROM ({_ORACLE_EXTRACT_RDFA})
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_extract_turtle": _q_extract_turtle,
@@ -3965,6 +4162,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_latest_facts": _q_latest_facts,
         "kg_harmonic": _q_harmonic,
         "kg_reciprocity": _q_reciprocity,
+        "kg_extract_jsonld": _q_extract_jsonld,
+        "kg_extract_rdfa": _q_extract_rdfa,
+        "kg_extract_embedded": _q_extract_embedded,
     }
 
 
@@ -4180,6 +4380,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_latest_facts": _ORACLE_LATEST_FACTS,
         "kg_harmonic": _ORACLE_HARMONIC,
         "kg_reciprocity": _ORACLE_RECIPROCITY,
+        "kg_extract_jsonld": _ORACLE_EXTRACT_JSONLD,
+        "kg_extract_rdfa": _ORACLE_EXTRACT_RDFA,
+        "kg_extract_embedded": _ORACLE_EXTRACT_EMBEDDED,
         "events_sessionize": _ORACLE_SESSIONS,
         "events_asof_join": _ORACLE_EVENTS_ASOF,
         "events_scd2_history": _ORACLE_SCD2,

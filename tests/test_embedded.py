@@ -1,0 +1,276 @@
+"""JSON-LD island + RDFa-Lite extraction: expansion-rule unit tests
+(pure Python, no Spark) and the Spark-stage contracts (schema parity
+with the Turtle path, quarantine rows, single-scan union, pruning)."""
+
+import pytest
+
+from tortank_spark.jsonld import _expand_island, expand_jsonld, find_islands
+from tortank_spark.rdfa import extract_rdfa_triples
+
+XSD = "http://www.w3.org/2001/XMLSchema#"
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+# ---------------------------------------------------------- JSON-LD unit
+
+def test_jsonld_scalars_and_context():
+    ts, err = expand_jsonld(
+        '{"@context": {"ex": "http://e/", "@vocab": "http://v/"},'
+        ' "@id": "http://s/1", "ex:i": 7, "f": 2.5, "b": false, "t": "x"}'
+    )
+    assert err is None
+    assert set(ts) == {
+        ("http://s/1", "iri", "http://e/i", "7", "literal",
+         XSD + "integer", None),
+        ("http://s/1", "iri", "http://v/f", "2.5", "literal",
+         XSD + "double", None),
+        ("http://s/1", "iri", "http://v/b", "false", "literal",
+         XSD + "boolean", None),
+        ("http://s/1", "iri", "http://v/t", "x", "literal",
+         XSD + "string", None),
+    }
+
+
+def test_jsonld_value_objects_and_refs():
+    ts, err = expand_jsonld(
+        '{"@context": {"@vocab": "http://v/"}, "@id": "http://s/1",'
+        ' "a": {"@value": "bonjour", "@language": "fr"},'
+        ' "b": {"@value": "5", "@type": "http://dt/x"},'
+        ' "c": {"@id": "http://o/2"},'
+        ' "d": [{"@id": "_:z"}, "lit"]}'
+    )
+    assert err is None
+    assert ("http://s/1", "iri", "http://v/a", "bonjour", "literal",
+            None, "fr") in ts
+    assert ("http://s/1", "iri", "http://v/b", "5", "literal",
+            "http://dt/x", None) in ts
+    assert ("http://s/1", "iri", "http://v/c", "http://o/2", "iri",
+            None, None) in ts
+    assert ("http://s/1", "iri", "http://v/d", "_:1", "bnode",
+            None, None) in ts
+    assert ("http://s/1", "iri", "http://v/d", "lit", "literal",
+            XSD + "string", None) in ts
+
+
+def test_jsonld_nested_bnodes_depth_first_counter():
+    ts, err = expand_jsonld(
+        '{"@context": {"@vocab": "http://v/"},'
+        ' "x": {"y": {"z": "deep"}}, "w": {"k": "v"}}'
+    )
+    assert err is None
+    labels = [t[0] for t in ts if t[1] == "bnode"]
+    # root _:1, then x-child _:2, its y-child _:3, then w-child _:4
+    assert ("_:3", "bnode", "http://v/z", "deep", "literal",
+            XSD + "string", None) in ts
+    assert ("_:2", "bnode", "http://v/y", "_:3", "bnode", None, None) in ts
+    assert ("_:1", "bnode", "http://v/x", "_:2", "bnode", None, None) in ts
+    assert ("_:1", "bnode", "http://v/w", "_:4", "bnode", None, None) in ts
+    assert set(labels) == {"_:1", "_:2", "_:3", "_:4"}
+
+
+def test_jsonld_counter_threads_across_islands():
+    page = (
+        '<script type="application/ld+json">'
+        '{"@context":{"@vocab":"http://v/"},"a":{"k":"1"}}</script>'
+        '<script type="application/ld+json">'
+        '{"@context":{"@vocab":"http://v/"},"b":{"k":"2"}}</script>'
+    )
+    islands = find_islands(page)
+    assert len(islands) == 2
+    counter, allts = 0, []
+    for isl in islands:
+        ts, err, counter = _expand_island(isl, "", counter)
+        assert err is None
+        allts.extend(ts)
+    bnodes = {t[0] for t in allts if t[1] == "bnode"}
+    assert bnodes == {"_:1", "_:2", "_:3", "_:4"}  # no label reuse
+
+
+def test_jsonld_graph_and_explicit_bnode_relabeling():
+    ts, err = expand_jsonld(
+        '{"@context": {"@vocab": "http://v/"}, "@graph": ['
+        ' {"@id": "_:a", "p": {"@id": "_:b"}},'
+        ' {"@id": "_:b", "q": "x"}]}'
+    )
+    assert err is None
+    # _:a -> _:1, _:b -> _:2 consistently across the graph
+    assert ("_:1", "bnode", "http://v/p", "_:2", "bnode", None, None) in ts
+    assert ("_:2", "bnode", "http://v/q", "x", "literal",
+            XSD + "string", None) in ts
+
+
+@pytest.mark.parametrize("payload,frag", [
+    ('{"@context": "http://schema.org"}', "remote @context"),
+    ('{"@context": {"@vocab": "http://v/"}, "l": {"@list": [1]}}', "@list"),
+    ("{broken", "invalid JSON"),
+    ('"just a string"', "object or array"),
+    ('{"@context": {"@vocab": "http://v/"}, '
+     '"x": {"@value": "a", "@language": "en", "@type": "http://t/"}}',
+     "exclusive"),
+])
+def test_jsonld_out_of_scope_quarantines(payload, frag):
+    ts, err = expand_jsonld(payload)
+    assert ts == [] and err is not None and frag in err
+
+
+def test_jsonld_dropped_keys_and_null():
+    ts, err = expand_jsonld('{"noctx": "dropped", "x": null}')
+    assert err is None and ts == []
+
+
+# ------------------------------------------------------------ RDFa unit
+
+def test_rdfa_core_attribute_set():
+    ts, err = extract_rdfa_triples(
+        '<div vocab="http://s/" prefix="ex: http://e/">'
+        '<section about="http://a/1" typeof="Thing">'
+        '<span property="name">A  B</span>'
+        '<meta property="ex:n" content="3" datatype="' + XSD + 'integer">'
+        '<a property="url" href="http://a/home">h</a>'
+        "</section></div>"
+    )
+    assert err is None
+    assert set(ts) == {
+        ("http://a/1", "iri", RDF_TYPE, "http://s/Thing", "iri",
+         None, None),
+        ("http://a/1", "iri", "http://s/name", "A B", "literal",
+         XSD + "string", None),
+        ("http://a/1", "iri", "http://e/n", "3", "literal",
+         XSD + "integer", None),
+        ("http://a/1", "iri", "http://s/url", "http://a/home", "iri",
+         None, None),
+    }
+
+
+def test_rdfa_chaining_and_lang_inheritance():
+    ts, err = extract_rdfa_triples(
+        '<body lang="en" vocab="http://s/">'
+        '<div about="http://a/1">'
+        '<div property="child" typeof="Thing">'
+        '<span property="k">v</span></div>'
+        '<span property="plain" lang="">noLang</span>'
+        "</div></body>"
+    )
+    assert err is None
+    assert ("http://a/1", "iri", "http://s/child", "_:1", "bnode",
+            None, None) in ts
+    assert ("_:1", "bnode", RDF_TYPE, "http://s/Thing", "iri",
+            None, None) in ts
+    assert ("_:1", "bnode", "http://s/k", "v", "literal", None, "en") in ts
+    # lang="" clears inheritance -> plain xsd:string
+    assert ("http://a/1", "iri", "http://s/plain", "noLang", "literal",
+            XSD + "string", None) in ts
+
+
+def test_rdfa_typeof_without_about_mints_bnode():
+    ts, err = extract_rdfa_triples(
+        '<div vocab="http://s/" typeof="Org">'
+        '<span property="name">Acme</span></div>'
+    )
+    assert err is None
+    assert ("_:1", "bnode", RDF_TYPE, "http://s/Org", "iri",
+            None, None) in ts
+    assert ("_:1", "bnode", "http://s/name", "Acme", "literal",
+            XSD + "string", None) in ts
+
+
+def test_rdfa_never_raises_on_hostile_markup():
+    for page in [
+        "", "<p>plain</p>", "<div property='x'>no subject context",
+        "<<<>>>", "<a href='http://x/'>no property</a>",
+        '<script>var s = "<span property=\'nope\'>";</script>',
+        "<div vocab='http://s/'><span property='p'>unclosed",
+        "\x00binary\xff<junk", "<meta property>",
+    ]:
+        ts, err = extract_rdfa_triples(page)
+        assert err is None
+        assert all(len(t) == 7 for t in ts)
+        # raw-text script payloads never contribute
+        assert all("nope" not in (t[2] or "") for t in ts)
+
+
+def test_rdfa_unclosed_property_literal_closes_at_eof():
+    ts, err = extract_rdfa_triples(
+        '<div about="http://a/1" vocab="http://s/">'
+        '<span property="p">tail text'
+    )
+    assert ("http://a/1", "iri", "http://s/p", "tail text", "literal",
+            XSD + "string", None) in ts
+
+
+# ----------------------------------------------------------- Spark stage
+
+@pytest.fixture(scope="module")
+def mixed_pages(spark):
+    rows = [
+        ("u:t", '@prefix ex: <http://e/> . ex:a ex:name "T" .'),
+        ("u:j", '<html><script type="application/ld+json">'
+                '{"@context":{"@vocab":"http://v/"},'
+                '"@id":"http://j/1","k":"v","n":{"m":"w"}}</script></html>'),
+        ("u:r", '<div vocab="http://s/" about="http://r/1">'
+                '<span property="name">R</span></div>'),
+        ("u:bad", '<script type="application/ld+json">{nope</script>'),
+    ]
+    return spark.createDataFrame(rows, ["url", "text"])
+
+
+def test_extract_jsonld_stage_schema_and_quarantine(spark, mixed_pages):
+    from tortank_spark.extract import extract_triples
+    from tortank_spark.jsonld import extract_jsonld
+
+    ext = extract_jsonld(mixed_pages, fixture_mode=True)
+    assert ext.schema == extract_triples(mixed_pages).schema
+    rows = {r["url"]: r for r in ext.collect()}
+    assert rows["u:j"]["parse_ok"] and rows["u:j"]["s"] == "http://j/1"
+    bad = ext.filter("url = 'u:bad'").collect()
+    assert len(bad) == 1 and not bad[0]["parse_ok"]
+    assert "invalid JSON" in bad[0]["error"]
+    # turtle page has no islands -> quarantine row, not a job failure
+    t = ext.filter("url = 'u:t'").collect()
+    assert len(t) == 1 and t[0]["s"] is None
+
+
+def test_extract_jsonld_salts_bnodes_per_url(spark, mixed_pages):
+    from tortank_spark.jsonld import extract_jsonld
+
+    ext = extract_jsonld(mixed_pages, fixture_mode=False)
+    bn = [r["o"] for r in ext.collect()
+          if r["url"] == "u:j" and r["o_kind"] == "bnode"]
+    assert len(bn) == 1 and bn[0].startswith("_:") and bn[0] != "_:1"
+    assert bn[0].endswith("-1")  # sha1(url)[:12] + "-" + counter
+
+
+def test_extract_embedded_single_scan_and_tags(spark, mixed_pages):
+    from tortank_spark.extract import extract_embedded
+
+    out = extract_embedded(mixed_pages, fixture_mode=True)
+    rows = out.collect()
+    by_syntax = {}
+    for r in rows:
+        by_syntax.setdefault(r["syntax"], set()).add(r["url"])
+    assert by_syntax["turtle"] == {"u:t"}
+    assert by_syntax["jsonld"] == {"u:j"}
+    assert by_syntax["rdfa"] == {"u:r"}
+    # ONE scan of the page table: mapInPandas fuses all three parsers
+    from tests.test_plans import plan_of
+
+    plan = plan_of(out)
+    tree = plan.split("\n\n")[0]
+    assert sum("Scan" in ln for ln in tree.splitlines()) == 1
+    assert sum("MapInPandas" in ln for ln in tree.splitlines()) == 1
+    assert "Exchange" not in plan and "Union" not in plan
+
+
+def test_extract_embedded_prunes_to_url_text(spark, tmp_path):
+    from tortank_spark import fixtures
+    from tortank_spark.extract import extract_embedded
+    from tests.test_plans import plan_of
+
+    p = str(tmp_path / "pages")
+    fixtures.make_pages(spark, n_pages=8, n_partitions=1,
+                        include_broken=False).write.parquet(p)
+    plan = plan_of(extract_embedded(spark.read.parquet(p)))
+    scan = plan[plan.index("Scan parquet"):]
+    read_schema = scan[scan.index("ReadSchema"):].splitlines()[0]
+    assert "url" in read_schema and "text" in read_schema
+    assert "html" not in read_schema and "warc_ts" not in read_schema

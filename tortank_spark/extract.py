@@ -138,3 +138,81 @@ def doc_metrics(pages: DataFrame, fixture_mode: bool = False) -> DataFrame:
             )
 
     return pages.select("url", "text").mapInPandas(gen, schema=DOC_METRICS_SCHEMA)
+
+
+_EMBEDDED_SCHEMA = None  # built lazily to avoid import-time Spark types
+
+
+def _embedded_schema():
+    global _EMBEDDED_SCHEMA
+    if _EMBEDDED_SCHEMA is None:
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        from .schema import TRIPLE_FIELDS
+
+        _EMBEDDED_SCHEMA = StructType(
+            [StructField("syntax", StringType(), False)] + TRIPLE_FIELDS
+        )
+    return _EMBEDDED_SCHEMA
+
+
+def extract_embedded(
+    pages: DataFrame, fixture_mode: bool = False, text_col: str = "text",
+) -> DataFrame:
+    """Unified embedded-KG extraction — the north star's 'embedded
+    RDFa/JSON-LD/Turtle in page text' as ONE operator. Every page is
+    scanned once and run through all three parsers (Turtle grammar,
+    JSON-LD island expansion, RDFa-Lite attribute scan); the output is
+    the union of each syntax's good triples tagged with
+    ``syntax in ('turtle','jsonld','rdfa')``.
+
+    Single-pass by construction: one ``mapInPandas`` stage, so the
+    page table is read ONCE (a DataFrame-level union of the three
+    standalone extractors would scan 100 TB three times). A page may
+    legitimately contribute triples in several syntaxes. Per-syntax
+    quarantine semantics differ by design — a JSON-LD page is not a
+    Turtle parse failure — so this operator emits good triples only;
+    per-page parse auditing stays with the standalone extractors
+    (extract_triples / jsonld.extract_jsonld / rdfa.extract_rdfa)."""
+    from .jsonld import _expand_island, find_islands
+    from .rdfa import extract_rdfa_triples
+
+    out_cols = ["syntax"] + _COLS[:8]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols = {c: [] for c in out_cols}
+
+            def add(syntax, url, ts):
+                k = len(ts)
+                if not k:
+                    return
+                cols["syntax"].extend([syntax] * k)
+                cols["url"].extend([url] * k)
+                for j, c in enumerate(_COLS[1:8]):
+                    cols[c].extend(t[j] for t in ts)
+
+            for url, text in zip(pdf["url"].values, pdf["_emb_text"].values):
+                text = text or ""
+                prefix = "" if fixture_mode else _salt(url)
+                t_ts, t_err = parse_document(text, bnode_prefix=prefix)
+                if t_err is None:
+                    add("turtle", url, t_ts)
+                counter, j_ts, seen = 0, [], set()
+                for payload in find_islands(text):
+                    ts, j_err, counter = _expand_island(
+                        payload, prefix, counter)
+                    if j_err is not None:
+                        j_ts = []
+                        break
+                    for t in ts:
+                        if t not in seen:
+                            seen.add(t)
+                            j_ts.append(t)
+                add("jsonld", url, j_ts)
+                r_ts, _ = extract_rdfa_triples(text, bnode_prefix=prefix)
+                add("rdfa", url, r_ts)
+            yield pd.DataFrame(cols)
+
+    sel = pages.select("url", F.col(text_col).alias("_emb_text"))
+    return sel.mapInPandas(gen, schema=_embedded_schema())
