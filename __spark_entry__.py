@@ -3883,7 +3883,10 @@ def _jsonld_pages(spark, sf_dir):
     north star's 'embedded JSON-LD in page text' input, synthesized
     with pure column exprs from the customer table so the oracle can
     reconstruct every expected triple in SQL."""
-    customer = _t(spark, sf_dir, "customer")
+    return _jsonld_pages_from(_t(spark, sf_dir, "customer"))
+
+
+def _jsonld_pages_from(customer):
     text = F.concat(
         F.lit('<html><head><script type="application/ld+json">'
               '{"@context": {"schema": "' + _SCHEMA_ORG + '", '
@@ -4027,6 +4030,64 @@ FROM sup
 """
 
 
+def _q_extract_delta(spark, sf_dir):
+    """Recrawl KG diff (freshness.crawl_delta): two JSON-LD crawl
+    snapshots of the customer pages — crawl v2 re-segments every
+    third customer (mktsegment || '-v2') and has lost every seventh
+    page entirely — extracted with the same island expander, then
+    diffed to the added/removed triple feed in ONE shuffle (tag +
+    union + max-per-side aggregate + XOR filter, NOT two anti-joins).
+    FULL value oracle: DuckDB rebuilds both crawls' triple sets from
+    the customer table and replays the set difference both ways."""
+    from tortank_spark.freshness import crawl_delta
+    from tortank_spark.jsonld import extract_jsonld
+
+    customer = _t(spark, sf_dir, "customer")
+    v2_cust = (
+        customer.filter(F.col("c_custkey") % 7 != 0)
+        .withColumn(
+            "c_mktsegment",
+            F.when(F.col("c_custkey") % 3 == 0,
+                   F.concat(F.col("c_mktsegment"), F.lit("-v2")))
+            .otherwise(F.col("c_mktsegment")),
+        )
+    )
+
+    def good(pages):
+        ext = extract_jsonld(pages, fixture_mode=True)
+        return ext.filter(
+            F.col("parse_ok") & F.col("s").isNotNull()
+        ).select("url", "s", "p", "o",
+                 F.col("o_datatype").alias("o_dt"), F.col("o_lang"))
+
+    old = good(_jsonld_pages_from(customer))
+    new = good(_jsonld_pages_from(v2_cust))
+    return crawl_delta(old, new)
+
+
+_ORACLE_EXTRACT_DELTA = f"""
+WITH dropped AS (
+  SELECT url, s, p, o, o_dt, o_lang
+  FROM ({_ORACLE_EXTRACT_JSONLD}) j
+  WHERE CAST(regexp_extract(url, 'urn:cust:(\\d+)', 1) AS BIGINT) % 7 = 0
+),
+seg AS (
+  SELECT 'urn:cust:' || c_custkey AS url,
+         '{EX}customer/' || c_custkey AS s,
+         '{EX}ns#mktsegment' AS p, c_mktsegment
+  FROM customer
+  WHERE c_custkey % 7 <> 0 AND c_custkey % 3 = 0
+)
+SELECT 'removed' AS change, url, s, p, o, o_dt, o_lang FROM dropped
+UNION ALL
+SELECT 'removed', url, s, p, c_mktsegment,
+       CAST(NULL AS VARCHAR), 'en' FROM seg
+UNION ALL
+SELECT 'added', url, s, p, c_mktsegment || '-v2',
+       CAST(NULL AS VARCHAR), 'en' FROM seg
+"""
+
+
 def _q_extract_embedded(spark, sf_dir):
     """Unified embedded-KG extraction over a MIXED corpus — the north
     star's literal phrase 'embedded RDFa/JSON-LD/Turtle in page text'
@@ -4165,6 +4226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_extract_jsonld": _q_extract_jsonld,
         "kg_extract_rdfa": _q_extract_rdfa,
         "kg_extract_embedded": _q_extract_embedded,
+        "kg_extract_delta": _q_extract_delta,
     }
 
 
@@ -4383,6 +4445,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_extract_jsonld": _ORACLE_EXTRACT_JSONLD,
         "kg_extract_rdfa": _ORACLE_EXTRACT_RDFA,
         "kg_extract_embedded": _ORACLE_EXTRACT_EMBEDDED,
+        "kg_extract_delta": _ORACLE_EXTRACT_DELTA,
         "events_sessionize": _ORACLE_SESSIONS,
         "events_asof_join": _ORACLE_EVENTS_ASOF,
         "events_scd2_history": _ORACLE_SCD2,

@@ -513,6 +513,7 @@ def run_headline_queries() -> tuple[dict, dict]:
         "text_winnow",
         "dedup_winnow",
         "mm_features",
+        "kg_extract_embedded",
     ]
     qs = entrymod.queries()
     queries = {}

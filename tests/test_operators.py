@@ -2430,3 +2430,40 @@ def test_reciprocity_per_node(spark):
     assert got["b"] == (1, 1, 1_000_000)
     assert got["c"] == (1, 1, 1_000_000)  # c->d mutual; a->c is inbound
     assert got["d"] == (1, 1, 1_000_000)  # self-loop dropped
+
+
+def test_crawl_delta_set_semantics(spark):
+    """crawl_delta: one-sided triples only, duplicates collapse (set
+    semantics, P23), unchanged rows absent, null key columns compare
+    null-safely."""
+    from tortank_spark.freshness import crawl_delta
+
+    cols = "s string, p string, o string, o_dt string"
+    old = spark.createDataFrame(
+        [("a", "p", "1", None), ("a", "p", "1", None),  # dup in-crawl
+         ("b", "p", "2", "dt"), ("c", "p", "3", None)], cols)
+    new = spark.createDataFrame(
+        [("a", "p", "1", None),            # unchanged (null o_dt both)
+         ("b", "p", "2", "dt2"),           # changed datatype
+         ("d", "p", "4", None)], cols)     # new subject
+    got = {(r["change"], r["s"], r["p"], r["o"], r["o_dt"])
+           for r in crawl_delta(old, new).collect()}
+    assert got == {
+        ("removed", "b", "p", "2", "dt"),
+        ("added", "b", "p", "2", "dt2"),
+        ("removed", "c", "p", "3", None),
+        ("added", "d", "p", "4", None),
+    }
+
+
+def test_crawl_delta_empty_sides(spark):
+    from tortank_spark.freshness import crawl_delta
+
+    cols = "s string, p string, o string"
+    some = spark.createDataFrame([("a", "p", "1")], cols)
+    empty = spark.createDataFrame([], cols)
+    assert crawl_delta(some, some).count() == 0
+    assert [r["change"] for r in crawl_delta(some, empty).collect()] == [
+        "removed"]
+    assert [r["change"] for r in crawl_delta(empty, some).collect()] == [
+        "added"]

@@ -603,3 +603,21 @@ def test_harmonic_and_reciprocity_equi_joins_only(spark):
         plan = plan_of(df)
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_crawl_delta_single_shuffle_no_join(spark):
+    """crawl_delta must be tag+union+aggregate: exactly ONE exchange
+    over the unioned snapshots (each input shuffled once) and no join
+    operator at all — the two-anti-join formulation would shuffle both
+    snapshots twice."""
+    from tortank_spark.freshness import crawl_delta
+
+    cols = "s string, p string, o string"
+    old = spark.createDataFrame([("a", "p", "1")], cols)
+    new = spark.createDataFrame([("a", "p", "2")], cols)
+    plan = plan_of(crawl_delta(old, new))
+    tree = plan.split("\n\n")[0]
+    assert sum("Exchange" in ln for ln in tree.splitlines()) == 1
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    # map-side partial combine before the exchange
+    assert plan.count("HashAggregate") >= 2

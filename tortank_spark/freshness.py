@@ -66,3 +66,48 @@ def latest_facts(
             "first_seen", "n_obs", "n_distinct_o",
         )
     )
+
+
+def crawl_delta(
+    old: DataFrame, new: DataFrame, key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Recrawl KG diff -> one row per triple that APPEARED or
+    DISAPPEARED between two crawl snapshots, tagged
+    ``change in ('added','removed')`` — the update feed a downstream
+    consumer ingests instead of re-reading the whole new crawl, and
+    the KG-construction analogue of the reference's set ``difference``
+    (turtle_doc.rs:301-312) lifted from one in-memory document to two
+    crawl-scale triple tables.
+
+    ``key_cols`` (default: all shared columns) define triple identity;
+    rows are compared with SET semantics (duplicates within one crawl
+    collapse, matching the reference's statement dedup P23).
+
+    Scale shape: ONE shuffle total. Both snapshots are tagged with
+    integer presence flags and unioned, then a single groupBy on the
+    triple identity takes max(flag) per side (map-side partial
+    combine collapses each snapshot's duplicates before the exchange);
+    the XOR filter keeps only one-sided rows. Two anti-joins — the
+    obvious formulation — would shuffle BOTH tables TWICE; this
+    shuffles each once. Nulls in key columns (o_datatype/o_lang)
+    group null-safely. For repeated diffing at 100 TB, store both
+    snapshots with storage.write_triples_pbucketed so the exchange
+    disappears entirely into co-bucketed scans.
+    """
+    if key_cols is None:
+        key_cols = [c for c in old.columns if c in set(new.columns)]
+    o = old.select(*key_cols).withColumn(
+        "_in_old", F.lit(1)).withColumn("_in_new", F.lit(0))
+    n = new.select(*key_cols).withColumn(
+        "_in_old", F.lit(0)).withColumn("_in_new", F.lit(1))
+    both = o.unionByName(n)
+    agg = both.groupBy(*key_cols).agg(
+        F.max("_in_old").alias("_old"), F.max("_in_new").alias("_new"))
+    return (
+        agg.filter(F.col("_old") != F.col("_new"))
+        .select(
+            F.when(F.col("_new") == 1, F.lit("added"))
+            .otherwise(F.lit("removed")).alias("change"),
+            *key_cols,
+        )
+    )
