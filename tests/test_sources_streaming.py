@@ -382,3 +382,56 @@ def test_read_pages_iceberg_missing_runtime(spark, tmp_path):
 
     with pytest.raises(IcebergRuntimeMissing, match="iceberg-spark-runtime"):
         read_pages(spark, f"iceberg:{tmp_path}/warehouse/pages")
+
+
+def test_stream_extract_embedded_over_page_stream(spark, tmp_path):
+    """A streaming crawl drop of MIXED embedded syntaxes flows through
+    the fused extractor unchanged: stream_extract(extractor=
+    extract_embedded) drains a landing dir of pages, each micro-batch
+    writing an idempotent batch_id partition; a second drain from the
+    same checkpoint picks up ONLY newly landed pages (incremental, no
+    reprocessing)."""
+    import os
+
+    from tortank_spark.extract import extract_embedded
+    from tortank_spark.streaming import stream_extract
+
+    land = str(tmp_path / "in"); out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    rows1 = [
+        ("u:t", '@prefix ex: <http://e/> . ex:a ex:name "T" .'),
+        ("u:j", '<script type="application/ld+json">'
+                '{"@context":{"@vocab":"http://v/"},'
+                '"@id":"http://j/1","k":"v"}</script>'),
+    ]
+    spark.createDataFrame(rows1, ["url", "text"]).write.parquet(
+        land, mode="append")
+
+    def drain():
+        stream = (
+            spark.readStream.schema("url string, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(land)
+        )
+        q = stream_extract(
+            stream, out, ckpt, extractor=lambda pages: extract_embedded(
+                pages, fixture_mode=True))
+        q.awaitTermination(120)
+
+    drain()
+    got = spark.read.option("basePath", out).parquet(out)
+    first = {(r["syntax"], r["url"]) for r in got.collect()}
+    assert ("turtle", "u:t") in first and ("jsonld", "u:j") in first
+
+    rows2 = [("u:r", '<div vocab="http://s/" about="http://r/1">'
+                     '<span property="name">R</span></div>')]
+    spark.createDataFrame(rows2, ["url", "text"]).write.parquet(
+        land, mode="append")
+    drain()
+    got2 = spark.read.option("basePath", out).parquet(out)
+    assert {(r["syntax"], r["url"]) for r in got2.collect()} == first | {
+        ("rdfa", "u:r")}
+    # incremental: the second drain added new batch dirs, it did not
+    # rewrite the first drain's batches
+    batches = {d for d in os.listdir(out) if d.startswith("batch_id=")}
+    assert len(batches) >= 2

@@ -35,13 +35,18 @@ def stream_extract(
     out_path: str,
     checkpoint_path: str,
     trigger_once: bool = True,
+    extractor=extract_triples,
 ) -> StreamingQuery:
     """pages stream (url, text, ...) -> parquet triple sink with
     streaming checkpoints. ``trigger_once`` drains available data and
-    stops — the incremental-batch pattern."""
+    stops — the incremental-batch pattern. ``extractor`` is any
+    page->triples DataFrame transform (extract.extract_triples,
+    jsonld.extract_jsonld, rdfa.extract_rdfa, or the fused
+    extract.extract_embedded) — every extraction stage is a pure
+    transform, so the streaming path reuses them verbatim."""
 
     def handle(batch_df: DataFrame, batch_id: int):
-        out = extract_triples(batch_df)
+        out = extractor(batch_df)
         # idempotent on foreachBatch retry: a replayed batch_id
         # overwrites its own directory rather than appending dups
         out.write.mode("overwrite").parquet(f"{out_path}/batch_id={batch_id}")
