@@ -4130,6 +4130,134 @@ FROM ({_ORACLE_EXTRACT_RDFA})
 """
 
 
+def _q_extract_microdata(spark, sf_dir):
+    """HTML microdata extraction (microdata.extract_microdata): the
+    4th embedded syntax — itemscope/itemtype/itemprop with itemid
+    subjects, vocabulary-relative property IRIs from the first
+    itemtype (the microdata-to-RDF note's propertyURI=vocabulary
+    rule), itemprop+itemscope chaining to a per-doc blank node, and
+    href/content/text value positions. Page per part row (schema.org
+    Product with a nested Brand item). FULL value oracle: DuckDB
+    reconstructs all 8 triples per part."""
+    from tortank_spark.microdata import extract_microdata
+
+    part = _t(spark, sf_dir, "part")
+    text = F.concat(
+        F.lit('<html><body>'
+              '<div itemscope itemtype="' + _SCHEMA_ORG + 'Product" '
+              'itemid="' + EX + 'part/'), F.col("p_partkey"),
+        F.lit('"><span itemprop="name">'), F.col("p_name"),
+        F.lit('</span><meta itemprop="size" content="'),
+        F.col("p_size"),
+        F.lit('"><a itemprop="url" href="' + EX + 'p/'),
+        F.col("p_partkey"),
+        F.lit('">see</a>'
+              '<div itemprop="brand" itemscope itemtype="'
+              + _SCHEMA_ORG + 'Brand">'
+              '<span itemprop="name">'), F.col("p_brand"),
+        F.lit('</span></div>'
+              '<span itemprop="http://purl.org/dc/terms/type">'),
+        F.col("p_type"),
+        F.lit('</span></div></body></html>'),
+    )
+    pages = part.select(
+        F.concat(F.lit("urn:part:"), F.col("p_partkey")).alias("url"),
+        text.alias("text"),
+    )
+    ext = extract_microdata(pages, fixture_mode=True)
+    return ext.filter(F.col("parse_ok") & F.col("s").isNotNull()).select(
+        "url", "s", "p", "o",
+        F.col("o_datatype").alias("o_dt"), F.col("o_kind"),
+    )
+
+
+_ORACLE_EXTRACT_MICRODATA = f"""
+WITH p AS (
+  SELECT 'urn:part:' || p_partkey AS url,
+         '{EX}part/' || p_partkey AS s,
+         p_partkey,
+         trim(regexp_replace(p_name, '\\s+', ' ', 'g')) AS name_norm,
+         trim(regexp_replace(p_brand, '\\s+', ' ', 'g')) AS brand_norm,
+         trim(regexp_replace(p_type, '\\s+', ' ', 'g')) AS type_norm,
+         p_size
+  FROM part
+)
+SELECT url, s, '{_RDF_TYPE_IRI}' AS p, '{_SCHEMA_ORG}Product' AS o,
+       CAST(NULL AS VARCHAR) AS o_dt, 'iri' AS o_kind
+FROM p
+UNION ALL
+SELECT url, s, '{_SCHEMA_ORG}name', name_norm, '{XSD}string', 'literal'
+FROM p
+UNION ALL
+SELECT url, s, '{_SCHEMA_ORG}size', CAST(p_size AS VARCHAR),
+       '{XSD}string', 'literal' FROM p
+UNION ALL
+SELECT url, s, '{_SCHEMA_ORG}url', '{EX}p/' || p_partkey, NULL, 'iri'
+FROM p
+UNION ALL
+SELECT url, s, '{_SCHEMA_ORG}brand', '_:1', NULL, 'bnode' FROM p
+UNION ALL
+SELECT url, '_:1', '{_RDF_TYPE_IRI}', '{_SCHEMA_ORG}Brand', NULL, 'iri'
+FROM p
+UNION ALL
+SELECT url, '_:1', '{_SCHEMA_ORG}name', brand_norm, '{XSD}string',
+       'literal' FROM p
+UNION ALL
+SELECT url, s, 'http://purl.org/dc/terms/type', type_norm,
+       '{XSD}string', 'literal' FROM p
+"""
+
+
+def _q_link_graph(spark, sf_dir):
+    """Host-level web link graph (weblinks.extract_links +
+    host_link_graph): page per order on the customer's shop host,
+    one <a> per lineitem to the part's catalog host plus a self-host
+    /account link (excluded from the inter-host graph); anchors and
+    rel carried through the shared HTML scanner; the rollup is ONE
+    shuffle on the host pair. FULL value oracle: DuckDB rebuilds the
+    edge counts straight from orders x lineitem."""
+    from tortank_spark.weblinks import extract_links, host_link_graph
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    links_html = li.select(
+        "l_orderkey",
+        F.concat(
+            F.lit('<a href="http://part-'), F.col("l_partkey") % 20,
+            F.lit('.cat.example/p/'), F.col("l_partkey"),
+            F.lit('">part '), F.col("l_partkey"), F.lit("</a>"),
+        ).alias("tag"),
+    )
+    body = links_html.groupBy("l_orderkey").agg(
+        F.array_join(F.sort_array(F.collect_list("tag")), "").alias("links")
+    )
+    pages = (
+        o.join(body, o["o_orderkey"] == body["l_orderkey"])
+        .select(
+            F.concat(
+                F.lit("http://cust-"), F.col("o_custkey") % 100,
+                F.lit(".shop.example/o/"), F.col("o_orderkey"),
+            ).alias("url"),
+            F.concat(
+                F.lit('<html><body><a href="/account">me</a>'),
+                F.col("links"), F.lit("</body></html>"),
+            ).alias("text"),
+        )
+    )
+    g = host_link_graph(extract_links(pages))
+    return g.select("src_host", "dst_host", "n_links", "n_pages")
+
+
+_ORACLE_LINK_GRAPH = """
+SELECT 'cust-' || (o_custkey % 100) || '.shop.example' AS src_host,
+       'part-' || (l_partkey % 20) || '.cat.example' AS dst_host,
+       CAST(count(*) AS BIGINT) AS n_links,
+       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_pages
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY 1, 2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_extract_turtle": _q_extract_turtle,
@@ -4227,6 +4355,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_extract_rdfa": _q_extract_rdfa,
         "kg_extract_embedded": _q_extract_embedded,
         "kg_extract_delta": _q_extract_delta,
+        "kg_extract_microdata": _q_extract_microdata,
+        "web_link_graph": _q_link_graph,
     }
 
 
@@ -4446,6 +4576,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_extract_rdfa": _ORACLE_EXTRACT_RDFA,
         "kg_extract_embedded": _ORACLE_EXTRACT_EMBEDDED,
         "kg_extract_delta": _ORACLE_EXTRACT_DELTA,
+        "kg_extract_microdata": _ORACLE_EXTRACT_MICRODATA,
+        "web_link_graph": _ORACLE_LINK_GRAPH,
         "events_sessionize": _ORACLE_SESSIONS,
         "events_asof_join": _ORACLE_EVENTS_ASOF,
         "events_scd2_history": _ORACLE_SCD2,

@@ -274,3 +274,132 @@ def test_extract_embedded_prunes_to_url_text(spark, tmp_path):
     read_schema = scan[scan.index("ReadSchema"):].splitlines()[0]
     assert "url" in read_schema and "text" in read_schema
     assert "html" not in read_schema and "warc_ts" not in read_schema
+
+
+# ------------------------------------------------------- microdata unit
+
+def test_microdata_core_model():
+    from tortank_spark.microdata import extract_microdata_triples
+
+    ts, err = extract_microdata_triples(
+        '<div itemscope itemtype="http://schema.org/Person" '
+        'itemid="http://e/p/1">'
+        '<span itemprop="name">A  B</span>'
+        '<meta itemprop="age" content="36">'
+        '<a itemprop="url" href="http://e/h">h</a>'
+        '<time itemprop="born" datetime="1815-12-10">Dec</time>'
+        "</div>"
+    )
+    assert err is None
+    assert set(ts) == {
+        ("http://e/p/1", "iri", RDF_TYPE, "http://schema.org/Person",
+         "iri", None, None),
+        ("http://e/p/1", "iri", "http://schema.org/name", "A B",
+         "literal", XSD + "string", None),
+        ("http://e/p/1", "iri", "http://schema.org/age", "36",
+         "literal", XSD + "string", None),
+        ("http://e/p/1", "iri", "http://schema.org/url", "http://e/h",
+         "iri", None, None),
+        ("http://e/p/1", "iri", "http://schema.org/born", "1815-12-10",
+         "literal", XSD + "string", None),
+    }
+
+
+def test_microdata_chaining_and_vocab_scoping():
+    from tortank_spark.microdata import extract_microdata_triples
+
+    ts, err = extract_microdata_triples(
+        '<div itemscope itemtype="http://schema.org/Product">'
+        '<div itemprop="brand" itemscope '
+        'itemtype="http://other.org/ns#Brand">'
+        '<span itemprop="label">Acme</span></div>'
+        '<span itemprop="name">W</span></div>'
+    )
+    assert err is None
+    # nested item's props resolve against ITS vocab (http://other.org/ns#),
+    # outer item's against schema.org; chaining edge connects them
+    assert ("_:1", "bnode", "http://schema.org/brand", "_:2", "bnode",
+            None, None) in ts
+    assert ("_:2", "bnode", "http://other.org/ns#label", "Acme",
+            "literal", XSD + "string", None) in ts
+    assert ("_:1", "bnode", "http://schema.org/name", "W", "literal",
+            XSD + "string", None) in ts
+
+
+def test_microdata_untyped_item_drops_short_props():
+    from tortank_spark.microdata import extract_microdata_triples
+
+    ts, err = extract_microdata_triples(
+        '<div itemscope><span itemprop="name">dropped</span>'
+        '<span itemprop="http://abs/p">kept</span></div>'
+    )
+    assert err is None
+    assert ts == [("_:1", "bnode", "http://abs/p", "kept", "literal",
+                   XSD + "string", None)]
+
+
+def test_microdata_orphan_itemprop_and_hostile_markup():
+    from tortank_spark.microdata import extract_microdata_triples
+
+    for page in ["<span itemprop='name'>no item</span>", "", "<<<",
+                 "<div itemscope itemtype='notaniri'>"
+                 "<span itemprop='x'>y</span></div>"]:
+        ts, err = extract_microdata_triples(page)
+        assert err is None and ts == []
+
+
+def test_extract_embedded_includes_microdata(spark):
+    from tortank_spark.extract import extract_embedded
+
+    pages = spark.createDataFrame(
+        [("u:m", '<div itemscope itemtype="http://schema.org/Thing">'
+                 '<span itemprop="name">M</span></div>')],
+        ["url", "text"])
+    rows = extract_embedded(pages, fixture_mode=True).collect()
+    assert {r["syntax"] for r in rows} == {"microdata"}
+    assert {r["o"] for r in rows} == {"http://schema.org/Thing", "M"}
+
+
+# ------------------------------------------------------------- weblinks
+
+def test_resolve_href_forms():
+    from tortank_spark.weblinks import resolve_href
+
+    base = "https://h.example/d/p.html"
+    assert resolve_href(base, "http://x/y") == "http://x/y"
+    assert resolve_href(base, "/a/b") == "https://h.example/a/b"
+    assert resolve_href(base, "c.html") == "https://h.example/c.html"
+    assert resolve_href(base, "//cdn/x") == "https://cdn/x"
+    for bad in ["#f", "javascript:void(0)", "mailto:a@b", "", "  "]:
+        assert resolve_href(base, bad) is None
+
+
+def test_extract_page_links_anchors_and_raw_text():
+    from tortank_spark.weblinks import extract_page_links
+
+    rows = extract_page_links(
+        "http://s.example/p",
+        '<a href="http://a/1">one <b>bold</b></a>'
+        '<a href="http://b/2" rel="nofollow"></a>'
+        '<script>var x = \'<a href="http://evil/">x</a>\';</script>',
+    )
+    assert rows == [
+        ("http://s.example/p", "http://a/1", None, "one bold"),
+        ("http://s.example/p", "http://b/2", "nofollow", ""),
+    ]
+
+
+def test_host_link_graph_rollup_and_self_exclusion(spark):
+    from tortank_spark.weblinks import host_link_graph
+
+    links = spark.createDataFrame(
+        [("http://a.com/p1", "http://b.com/x", None, ""),
+         ("http://a.com/p1", "http://b.com/y", None, ""),
+         ("http://a.com/p2", "http://b.com/x", None, ""),
+         ("http://a.com/p1", "http://a.com/self", None, "")],
+        "url string, href string, rel string, anchor string")
+    got = {(r["src_host"], r["dst_host"], r["n_links"], r["n_pages"])
+           for r in host_link_graph(links).collect()}
+    assert got == {("a.com", "b.com", 3, 2)}
+    with_self = host_link_graph(links, include_self=True)
+    assert with_self.count() == 2

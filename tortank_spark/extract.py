@@ -161,20 +161,22 @@ def extract_embedded(
 ) -> DataFrame:
     """Unified embedded-KG extraction — the north star's 'embedded
     RDFa/JSON-LD/Turtle in page text' as ONE operator. Every page is
-    scanned once and run through all three parsers (Turtle grammar,
-    JSON-LD island expansion, RDFa-Lite attribute scan); the output is
-    the union of each syntax's good triples tagged with
-    ``syntax in ('turtle','jsonld','rdfa')``.
+    scanned once and run through all four parsers (Turtle grammar,
+    JSON-LD island expansion, RDFa-Lite attribute scan, HTML microdata
+    itemscope scan); the output is the union of each syntax's good
+    triples tagged with
+    ``syntax in ('turtle','jsonld','rdfa','microdata')``.
 
     Single-pass by construction: one ``mapInPandas`` stage, so the
-    page table is read ONCE (a DataFrame-level union of the three
-    standalone extractors would scan 100 TB three times). A page may
+    page table is read ONCE (a DataFrame-level union of the four
+    standalone extractors would scan 100 TB four times). A page may
     legitimately contribute triples in several syntaxes. Per-syntax
     quarantine semantics differ by design — a JSON-LD page is not a
     Turtle parse failure — so this operator emits good triples only;
     per-page parse auditing stays with the standalone extractors
     (extract_triples / jsonld.extract_jsonld / rdfa.extract_rdfa)."""
     from .jsonld import _expand_island, find_islands
+    from .microdata import extract_microdata_triples
     from .rdfa import extract_rdfa_triples
 
     out_cols = ["syntax"] + _COLS[:8]
@@ -212,6 +214,9 @@ def extract_embedded(
                 add("jsonld", url, j_ts)
                 r_ts, _ = extract_rdfa_triples(text, bnode_prefix=prefix)
                 add("rdfa", url, r_ts)
+                m_ts, _ = extract_microdata_triples(
+                    text, bnode_prefix=prefix)
+                add("microdata", url, m_ts)
             yield pd.DataFrame(cols)
 
     sel = pages.select("url", F.col(text_col).alias("_emb_text"))
