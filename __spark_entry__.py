@@ -4208,16 +4208,11 @@ SELECT url, s, 'http://purl.org/dc/terms/type', type_norm,
 """
 
 
-def _q_link_graph(spark, sf_dir):
-    """Host-level web link graph (weblinks.extract_links +
-    host_link_graph): page per order on the customer's shop host,
-    one <a> per lineitem to the part's catalog host plus a self-host
-    /account link (excluded from the inter-host graph); anchors and
-    rel carried through the shared HTML scanner; the rollup is ONE
-    shuffle on the host pair. FULL value oracle: DuckDB rebuilds the
-    edge counts straight from orders x lineitem."""
-    from tortank_spark.weblinks import extract_links, host_link_graph
-
+def _link_pages(spark, sf_dir):
+    """Deterministic order pages: each order page lives on its
+    customer's shop host and carries one <a> per lineitem to the
+    part's catalog host (anchor 'part <pk>') plus a host-relative
+    /account link (anchor 'me')."""
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     links_html = li.select(
@@ -4231,7 +4226,7 @@ def _q_link_graph(spark, sf_dir):
     body = links_html.groupBy("l_orderkey").agg(
         F.array_join(F.sort_array(F.collect_list("tag")), "").alias("links")
     )
-    pages = (
+    return (
         o.join(body, o["o_orderkey"] == body["l_orderkey"])
         .select(
             F.concat(
@@ -4244,7 +4239,18 @@ def _q_link_graph(spark, sf_dir):
             ).alias("text"),
         )
     )
-    g = host_link_graph(extract_links(pages))
+
+
+def _q_link_graph(spark, sf_dir):
+    """Host-level web link graph (weblinks.extract_links +
+    host_link_graph) over the synthetic order pages: the self-host
+    /account link is excluded from the inter-host graph; anchors and
+    rel carried through the shared HTML scanner; the rollup is ONE
+    shuffle on the host pair. FULL value oracle: DuckDB rebuilds the
+    edge counts straight from orders x lineitem."""
+    from tortank_spark.weblinks import extract_links, host_link_graph
+
+    g = host_link_graph(extract_links(_link_pages(spark, sf_dir)))
     return g.select("src_host", "dst_host", "n_links", "n_pages")
 
 
@@ -4255,6 +4261,49 @@ SELECT 'cust-' || (o_custkey % 100) || '.shop.example' AS src_host,
        CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_pages
 FROM orders JOIN lineitem ON l_orderkey = o_orderkey
 GROUP BY 1, 2
+"""
+
+
+def _q_anchor_aliases(spark, sf_dir):
+    """Anchor-text alias candidates (weblinks.anchor_alias_candidates)
+    over the same order pages: the web's entity-naming signal — how
+    pages refer to each link target — rolled up per (alias, dst) with
+    link counts and the distinct-linking-host anti-spam weight, the
+    feed for linking.py's broadcast alias dictionary. min_count=2
+    prunes singletons. FULL value oracle: DuckDB rebuilds both the
+    part-anchor and /account-anchor populations from orders x
+    lineitem."""
+    from tortank_spark.weblinks import anchor_alias_candidates, extract_links
+
+    out = anchor_alias_candidates(
+        extract_links(_link_pages(spark, sf_dir)), min_count=2)
+    return out.select("alias", "dst", "n_links", "n_hosts")
+
+
+_ORACLE_ANCHOR_ALIASES = """
+WITH part_links AS (
+  SELECT 'part ' || l_partkey AS alias,
+         'http://part-' || (l_partkey % 20) || '.cat.example/p/'
+           || l_partkey AS dst,
+         'cust-' || (o_custkey % 100) || '.shop.example' AS src_host
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+account_links AS (
+  -- only orders WITH lineitems get a page (the Spark side inner-joins
+  -- the per-order link body), so lineitem-less orders emit nothing
+  SELECT 'me' AS alias,
+         'http://cust-' || (o_custkey % 100)
+           || '.shop.example/account' AS dst,
+         'cust-' || (o_custkey % 100) || '.shop.example' AS src_host
+  FROM orders
+  WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+),
+allx AS (
+  SELECT * FROM part_links UNION ALL SELECT * FROM account_links
+)
+SELECT alias, dst, CAST(count(*) AS BIGINT) AS n_links,
+       CAST(count(DISTINCT src_host) AS BIGINT) AS n_hosts
+FROM allx GROUP BY alias, dst HAVING count(*) >= 2
 """
 
 
@@ -4357,6 +4406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_extract_delta": _q_extract_delta,
         "kg_extract_microdata": _q_extract_microdata,
         "web_link_graph": _q_link_graph,
+        "web_anchor_aliases": _q_anchor_aliases,
     }
 
 
@@ -4578,6 +4628,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_extract_delta": _ORACLE_EXTRACT_DELTA,
         "kg_extract_microdata": _ORACLE_EXTRACT_MICRODATA,
         "web_link_graph": _ORACLE_LINK_GRAPH,
+        "web_anchor_aliases": _ORACLE_ANCHOR_ALIASES,
         "events_sessionize": _ORACLE_SESSIONS,
         "events_asof_join": _ORACLE_EVENTS_ASOF,
         "events_scd2_history": _ORACLE_SCD2,

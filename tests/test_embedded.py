@@ -403,3 +403,20 @@ def test_host_link_graph_rollup_and_self_exclusion(spark):
     assert got == {("a.com", "b.com", 3, 2)}
     with_self = host_link_graph(links, include_self=True)
     assert with_self.count() == 2
+
+
+def test_anchor_alias_candidates_rollup(spark):
+    from tortank_spark.weblinks import anchor_alias_candidates
+
+    links = spark.createDataFrame(
+        [("http://a.com/1", "http://t.com/x", None, "Target  Page"),
+         ("http://a.com/2", "http://t.com/x", None, "target page"),
+         ("http://b.com/1", "http://t.com/x", None, "Target Page"),
+         ("http://b.com/2", "http://t.com/x", "nofollow", "target page"),
+         ("http://a.com/1", "http://t.com/x", None, ""),
+         ("http://a.com/1", "http://t.com/y", None, "once")],
+        "url string, href string, rel string, anchor string")
+    got = {(r["alias"], r["dst"], r["n_links"], r["n_hosts"])
+           for r in anchor_alias_candidates(links, min_count=2).collect()}
+    # case/ws-normalized merge; nofollow + empty + singleton dropped
+    assert got == {("target page", "http://t.com/x", 3, 2)}

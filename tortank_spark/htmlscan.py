@@ -14,6 +14,13 @@ so each extractor keeps only its own semantic stack. The regexes are
 deliberately forgiving (double/single-quoted and bare attribute
 values) — crawl HTML is hostile, and a scanner that raises is a
 scanner that loses pages.
+
+rdfa.py keeps its own inline scanner on purpose: RDFa attributes are
+always valued, so it uses a stricter attribute grammar (``attr=value``
+required — a bare ``property`` attribute stays ABSENT rather than
+empty-string, which matters for its property-vs-typeof subject rules),
+whereas microdata REQUIRES bare boolean attributes (``itemscope``).
+The two grammars are a deliberate semantic split, not duplication.
 """
 
 from __future__ import annotations

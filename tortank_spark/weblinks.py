@@ -137,3 +137,45 @@ def host_link_graph(
         F.count("*").alias("n_links"),
         F.countDistinct("url").alias("n_pages"),
     )
+
+
+def anchor_alias_candidates(
+    links: DataFrame, min_count: int = 2, drop_nofollow: bool = True,
+) -> DataFrame:
+    """(alias, dst, n_links, n_hosts): anchor-text alias candidates —
+    the classic web-KG signal that names entities (the anchor text of
+    links INTO a page is how the web refers to that page's entity),
+    and the natural feed for linking.py's broadcast alias dictionary:
+    filter by n_hosts (distinct linking hosts, the anti-spam weight —
+    one host repeating an anchor a million times is one vote) and
+    union into the alias table.
+
+    Normalization: lowercase + collapsed whitespace (the shared
+    explicit class, htmlscan.WS_RE semantics); empty anchors and —
+    by default — rel=nofollow links are dropped. ``min_count`` prunes
+    the singleton tail BEFORE the result materializes.
+
+    Scale shape: ONE shuffle on (alias, dst) with map-side combine;
+    n_hosts rides the same grouping as a count-distinct expand. The
+    (alias, dst) key space is bounded by the distinct-link space, and
+    a celebrity target (everyone links "click here" -> homepage)
+    collapses map-side.
+    """
+    a = links.select(
+        F.lower(F.trim(F.regexp_replace(
+            F.col("anchor"), r"[ \t\n\r\f\v]+", " "))).alias("alias"),
+        F.col("href").alias("dst"),
+        _host(F.col("url")).alias("src_host"),
+        F.col("rel"),
+    ).filter(F.length("alias") > 0)
+    if drop_nofollow:
+        a = a.filter(
+            F.col("rel").isNull() | ~F.col("rel").contains("nofollow"))
+    return (
+        a.groupBy("alias", "dst")
+        .agg(
+            F.count("*").alias("n_links"),
+            F.countDistinct("src_host").alias("n_hosts"),
+        )
+        .filter(F.col("n_links") >= min_count)
+    )
