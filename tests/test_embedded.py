@@ -420,3 +420,55 @@ def test_anchor_alias_candidates_rollup(spark):
            for r in anchor_alias_candidates(links, min_count=2).collect()}
     # case/ws-normalized merge; nofollow + empty + singleton dropped
     assert got == {("target page", "http://t.com/x", 3, 2)}
+
+
+def test_extract_embedded_equals_standalone_union(spark):
+    """CONSISTENCY PROPERTY: the fused single-scan dispatcher must
+    emit exactly the union of the four standalone extractors' good
+    triples on every page — pages with multiple syntaxes, quarantining
+    islands, and pages with nothing at all."""
+    from tortank_spark.extract import (
+        extract_embedded, extract_triples, triples_only)
+    from tortank_spark.jsonld import extract_jsonld
+    from tortank_spark.microdata import extract_microdata
+    from tortank_spark.rdfa import extract_rdfa
+
+    rows = [
+        # one page carrying THREE syntaxes at once
+        ("u:multi",
+         '<div vocab="http://s/" about="http://r/1">'
+         '<span property="name">R</span></div>'
+         '<script type="application/ld+json">'
+         '{"@context":{"@vocab":"http://v/"},"@id":"http://j/1",'
+         '"k":{"m":"w"}}</script>'
+         '<div itemscope itemtype="http://s/T">'
+         '<span itemprop="name">M</span></div>'),
+        ("u:turtle", '@prefix e: <http://e/> . e:a e:b "x" ; e:c [ e:d 1 ] .'),
+        ("u:badjson", '<script type="application/ld+json">{x</script>'),
+        ("u:empty", ""),
+        ("u:plain", "<p>nothing here</p>"),
+    ]
+    pages = spark.createDataFrame(rows, ["url", "text"])
+    fused = {
+        (r["syntax"], r["url"], r["s"], r["s_kind"], r["p"], r["o"],
+         r["o_kind"], r["o_datatype"], r["o_lang"])
+        for r in extract_embedded(pages, fixture_mode=True).collect()
+    }
+
+    def good(df, syntax):
+        return {
+            (syntax, r["url"], r["s"], r["s_kind"], r["p"], r["o"],
+             r["o_kind"], r["o_datatype"], r["o_lang"])
+            for r in df.filter("parse_ok AND s IS NOT NULL").collect()
+        }
+
+    standalone = (
+        good(extract_triples(pages, fixture_mode=True), "turtle")
+        | good(extract_jsonld(pages, fixture_mode=True), "jsonld")
+        | good(extract_rdfa(pages, fixture_mode=True), "rdfa")
+        | good(extract_microdata(pages, fixture_mode=True), "microdata")
+    )
+    assert fused == standalone
+    # and the multi-syntax page contributed under all three syntaxes
+    multi = {t[0] for t in fused if t[1] == "u:multi"}
+    assert multi == {"rdfa", "jsonld", "microdata"}

@@ -191,3 +191,41 @@ def test_bench_compact_summary_fits_tail_window():
     assert "rounds_detail" not in slim["scaling"]
     # the full artifact keeps them (sidecar is json.dump of `out`)
     assert out["headline_samples"] and out["scaling"]["rounds_detail"]
+
+
+def test_pipeline_embedded_mode(spark, tmp_path):
+    """syntax_mode='embedded': mixed JSON-LD/RDFa/microdata/Turtle
+    pages all contribute to the canonical table; lineage covers EVERY
+    page (zero-markup pages as n_triples=0, parse_ok=true); resume
+    skips."""
+    out = str(tmp_path / "kg_emb")
+    rows = [
+        ("u:j", '<script type="application/ld+json">'
+                '{"@context":{"@vocab":"http://v/"},'
+                '"@id":"http://j/1","k":"v"}</script>'),
+        ("u:r", '<div vocab="http://s/" about="http://r/1">'
+                '<span property="name">R</span></div>'),
+        ("u:m", '<div itemscope itemtype="http://s/T">'
+                '<span itemprop="name">M</span></div>'),
+        ("u:t", '@prefix e: <http://e/> . e:a e:b "x" .'),
+        ("u:none", "<p>no markup at all</p>"),
+    ]
+    import pyspark.sql.functions as F
+
+    pages = spark.createDataFrame(rows, ["url", "text"]).withColumn(
+        "warc_ts", F.lit(None).cast("timestamp")
+    ).withColumn("html", F.lit(None).cast("binary")).withColumn(
+        "lang", F.lit("en"))
+    stats = run_pipeline(spark, pages, out, n_buckets=2,
+                         syntax_mode="embedded")
+    # u:j 1 + u:r 1 + u:m 2 (rdf:type + name) + u:t 1
+    assert stats["n_canonical_triples"] == 5
+    lineage = spark.read.parquet(f"{out}/bucket=*/lineage")
+    rows_l = {r["url"]: r for r in lineage.collect()}
+    assert set(rows_l) == {"u:j", "u:r", "u:m", "u:t", "u:none"}
+    assert rows_l["u:none"]["n_triples"] == 0
+    assert all(r["parse_ok"] for r in rows_l.values())
+    assert rows_l["u:j"]["error"] is None
+    stats2 = run_pipeline(spark, pages, out, n_buckets=2,
+                          syntax_mode="embedded")
+    assert stats2["buckets_ran"] == [] and stats2["global_phase"] == "skipped"

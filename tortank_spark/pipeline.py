@@ -37,7 +37,7 @@ import pyspark.sql.functions as F
 
 from . import fixtures
 from .canonicalize import connected_components, rewrite_canonical, sameas_edges
-from .extract import extract_triples, triples_only
+from .extract import extract_embedded, extract_triples, triples_only
 from .linking import best_link_per_mention, detect_mentions, link_mentions, links_as_triples
 from .schema import TRIPLE_COLS
 
@@ -70,8 +70,19 @@ def run_pipeline(
     n_buckets: int = 8,
     alias_dict: DataFrame | None = None,
     min_link_score: float = 0.2,
+    syntax_mode: str = "turtle",
 ) -> dict:
-    """Run (or resume) the pipeline; returns run metrics."""
+    """Run (or resume) the pipeline; returns run metrics.
+
+    ``syntax_mode``: 'turtle' parses each page as a standalone Turtle
+    document (quarantine rows on parse failure — the reference's
+    whole-doc contract); 'embedded' runs the fused four-syntax
+    extractor (extract.extract_embedded) so Common-Crawl-style HTML
+    pages carrying JSON-LD islands / RDFa / microdata / inline Turtle
+    all contribute — there a page with zero embedded markup is a
+    normal empty page, not a parse failure, and lineage records
+    n_triples=0 with parse_ok=true.
+    """
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     t0 = time.time()
@@ -142,6 +153,7 @@ def run_pipeline(
             str(bdir),
             alias_dict,
             min_link_score,
+            syntax_mode,
         )
         stats["run_id"] = run_id
         manifest.write_text(json.dumps(stats, indent=1))
@@ -216,10 +228,20 @@ def _run_bucket(
     bdir: str,
     alias_dict: DataFrame | None,
     min_link_score: float,
+    syntax_mode: str = "turtle",
 ) -> dict:
     pages = pages.persist()
-    extracted = extract_triples(pages).persist()
-    triples = triples_only(extracted)
+    if syntax_mode == "embedded":
+        emb = extract_embedded(pages).persist()
+        triples = emb.select(
+            "url", "s", "s_kind", "p", "o", "o_kind",
+            "o_datatype", "o_lang",
+        ).distinct()  # a triple may arrive via two syntaxes; the
+        # canonical table is a set, per the reference's statement dedup
+        extracted = None
+    else:
+        extracted = extract_triples(pages).persist()
+        triples = triples_only(extracted)
 
     link_triples = None
     if alias_dict is not None:
@@ -236,12 +258,28 @@ def _run_bucket(
     sameas_edges(triples).write.mode("overwrite").parquet(
         f"{bdir}/sameas_edges"
     )
-    # lineage: url -> bucket + per-doc counts + parse status
-    lineage = extracted.groupBy("url").agg(
-        F.sum(F.when(F.col("s").isNotNull(), 1).otherwise(0)).alias("n_triples"),
-        F.min(F.col("parse_ok").cast("int")).cast("boolean").alias("parse_ok"),
-        F.first("error", ignorenulls=True).alias("error"),
-    )
+    # lineage: url -> bucket + per-doc counts + parse status. The
+    # embedded extractor emits good triples only (no quarantine rows),
+    # so its lineage left-joins the full page set back in: EVERY page
+    # gets a row, zero-markup pages as (0, true, null).
+    if syntax_mode == "embedded":
+        lineage = (
+            pages.select("url").distinct()
+            .join(triples.groupBy("url").agg(
+                F.count("*").alias("n_triples")), "url", "left")
+            .select(
+                "url",
+                F.coalesce(F.col("n_triples"), F.lit(0)).alias("n_triples"),
+                F.lit(True).alias("parse_ok"),
+                F.lit(None).cast("string").alias("error"),
+            )
+        )
+    else:
+        lineage = extracted.groupBy("url").agg(
+            F.sum(F.when(F.col("s").isNotNull(), 1).otherwise(0)).alias("n_triples"),
+            F.min(F.col("parse_ok").cast("int")).cast("boolean").alias("parse_ok"),
+            F.first("error", ignorenulls=True).alias("error"),
+        )
     lineage.write.mode("overwrite").parquet(f"{bdir}/lineage")
     agg = lineage.agg(
         F.count("*").alias("docs"),
@@ -249,7 +287,10 @@ def _run_bucket(
         F.sum(F.when(~F.col("parse_ok"), 1).otherwise(0)).alias("parse_failures"),
     ).collect()[0]
     pages.unpersist()
-    extracted.unpersist()
+    if extracted is not None:
+        extracted.unpersist()
+    else:
+        emb.unpersist()
     return {
         "docs": agg["docs"],
         "triples": int(agg["triples"] or 0),
@@ -269,6 +310,11 @@ def main():
              "(sources.pagetable.read_pages resolution ladder)",
     )
     ap.add_argument("--buckets", type=int, default=8)
+    ap.add_argument(
+        "--syntax", choices=["turtle", "embedded"], default="turtle",
+        help="page parse mode: whole-doc Turtle (reference contract) "
+             "or the fused four-syntax embedded-markup extractor",
+    )
     ap.add_argument("--cpus", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     args = ap.parse_args()
@@ -286,7 +332,7 @@ def main():
                                     n_partitions=max(args.cpus, 8))
     alias_dict = fixtures.make_alias_dict(spark)
     stats = run_pipeline(spark, pages, args.out, n_buckets=args.buckets,
-                         alias_dict=alias_dict)
+                         alias_dict=alias_dict, syntax_mode=args.syntax)
     print(json.dumps(stats))
 
 
