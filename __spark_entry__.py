@@ -4307,6 +4307,50 @@ FROM allx GROUP BY alias, dst HAVING count(*) >= 2
 """
 
 
+def _q_triple_score(spark, sf_dir):
+    """TransE knowledge-base-completion scoring (sampling.transe_score)
+    over deterministic candidate facts: entities = the embeddings
+    table keyed by vec_id, relations = vec_ids 0-2, candidates
+    (h, r, t) = heads vec_id<50 x 3 relations with
+    t = (7h + 13r + 1) mod n. Squared-L2 energy in doubles, rounded
+    to 6 dp. FULL value oracle: DuckDB replays the elementwise
+    fold with explicit double casts over the same float32 vectors."""
+    from tortank_spark.sampling import transe_score
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n = emb.count()
+    heads = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("h"))
+    rels = spark.range(3).select(F.col("id").alias("r"))
+    cand = heads.crossJoin(rels).select(
+        "h", "r",
+        ((F.col("h") * 7 + F.col("r") * 13 + 1) % F.lit(n)).alias("t"),
+    )
+    relations = emb.filter(F.col("vec_id") < 3)
+    return transe_score(cand, emb, relations).select(
+        "h", "r", "t", "score")
+
+
+_ORACLE_TRIPLE_SCORE = """
+WITH n AS (SELECT count(*) AS n FROM embeddings),
+cand AS (
+  SELECT e.vec_id AS h, r.r AS r,
+         (e.vec_id * 7 + r.r * 13 + 1) % n.n AS t
+  FROM embeddings e, (VALUES (0), (1), (2)) r(r), n
+  WHERE e.vec_id < 50
+)
+SELECT c.h, CAST(c.r AS BIGINT) AS r, c.t,
+       round(list_sum(list_transform(
+         list_zip(eh.embedding, er.embedding, et.embedding),
+         x -> pow(CAST(x[1] AS DOUBLE) + CAST(x[2] AS DOUBLE)
+                  - CAST(x[3] AS DOUBLE), 2))), 6) AS score
+FROM cand c
+JOIN embeddings eh ON eh.vec_id = c.h
+JOIN embeddings er ON er.vec_id = c.r
+JOIN embeddings et ON et.vec_id = c.t
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_extract_turtle": _q_extract_turtle,
@@ -4407,6 +4451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_extract_microdata": _q_extract_microdata,
         "web_link_graph": _q_link_graph,
         "web_anchor_aliases": _q_anchor_aliases,
+        "kg_triple_score": _q_triple_score,
     }
 
 
@@ -4629,6 +4674,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_extract_microdata": _ORACLE_EXTRACT_MICRODATA,
         "web_link_graph": _ORACLE_LINK_GRAPH,
         "web_anchor_aliases": _ORACLE_ANCHOR_ALIASES,
+        "kg_triple_score": _ORACLE_TRIPLE_SCORE,
         "events_sessionize": _ORACLE_SESSIONS,
         "events_asof_join": _ORACLE_EVENTS_ASOF,
         "events_scd2_history": _ORACLE_SCD2,

@@ -2467,3 +2467,35 @@ def test_crawl_delta_empty_sides(spark):
         "removed"]
     assert [r["change"] for r in crawl_delta(empty, some).collect()] == [
         "added"]
+
+
+def test_transe_score_hand_values(spark):
+    """||e_h + e_r - e_t||^2 replayed by hand, incl. the exact-match
+    zero-energy fact."""
+    from tortank_spark.sampling import transe_score
+
+    ents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [1.0, 1.0])],
+        "vec_id long, embedding array<float>")
+    rels = spark.createDataFrame(
+        [(5, [0.0, 1.0])], "vec_id long, embedding array<float>")
+    cand = spark.createDataFrame(
+        [(0, 5, 2), (1, 5, 2), (2, 5, 0)], "h long, r long, t long")
+    got = {(r["h"], r["r"], r["t"]): r["score"]
+           for r in transe_score(cand, ents, rels).collect()}
+    # (0,5,2): [1,0]+[0,1]-[1,1] = [0,0] -> 0
+    # (1,5,2): [0,1]+[0,1]-[1,1] = [-1,1] -> 2
+    # (2,5,0): [1,1]+[0,1]-[1,0] = [0,2] -> 4
+    assert got == {(0, 5, 2): 0.0, (1, 5, 2): 2.0, (2, 5, 0): 4.0}
+
+
+def test_transe_score_broadcasts_relations(spark):
+    from tests.test_plans import plan_of
+    from tortank_spark.sampling import transe_score
+
+    ents = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<float>")
+    cand = spark.createDataFrame([(0, 0, 0)], "h long, r long, t long")
+    plan = plan_of(transe_score(cand, ents, ents))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -243,3 +243,67 @@ def split_assign(
         cond = bucket < F.lit(cum)
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     return df.withColumn("split", expr)
+
+
+def transe_score(
+    candidates: DataFrame,
+    entities: DataFrame,
+    relations: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """TransE link-prediction scoring (Bordes et al. 2013, "Translating
+    Embeddings for Modeling Multi-relational Data"): for each candidate
+    fact (h, r, t), the squared L2 energy ``||e_h + e_r - e_t||^2`` —
+    low score = plausible fact. This is the knowledge-base-completion
+    gate a construction pipeline runs over machine-proposed triples
+    (relation-induction candidates, co-occurrence edges) before
+    admitting them to the KG, the scoring-side complement of
+    negative_samples' training-side output.
+
+    ``candidates``: (h, r, t) id columns; ``entities``/``relations``:
+    (id_col, vec_col) embedding tables. Returns (h, r, t, score)
+    with score rounded to 6 dp (stable for value-hashing across
+    engines; element arithmetic runs in double, the sum is a
+    left-to-right fold).
+
+    Scale shape: relations are vocabulary-sized — broadcast; the two
+    entity joins shuffle ONLY the candidate table on h then t (the
+    entity table is hash-joined once per side; pre-bucket both sides
+    on the id for a shuffle-free variant). Scoring is one JVM-side
+    zip_with + aggregate per row — columnar, no Python."""
+    ent_h = entities.select(
+        F.col(id_col).alias("h"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_eh"),
+    )
+    ent_t = entities.select(
+        F.col(id_col).alias("t"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_et"),
+    )
+    rel = relations.select(
+        F.col(id_col).alias("r"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_er"),
+    )
+    d = (
+        candidates.join(ent_h, "h")
+        .join(F.broadcast(rel), "r")
+        .join(ent_t, "t")
+        .withColumn(
+            "_d",
+            F.zip_with(
+                F.zip_with("_eh", "_er", lambda a, b: a + b),
+                F.col("_et"),
+                lambda a, b: a - b,
+            ),
+        )
+    )
+    return d.select(
+        "h", "r", "t",
+        F.round(
+            F.aggregate(
+                "_d", F.lit(0.0).cast("double"),
+                lambda acc, x: acc + x * x,
+            ),
+            6,
+        ).alias("score"),
+    )
