@@ -4351,6 +4351,55 @@ JOIN embeddings et ON et.vec_id = c.t
 """
 
 
+def _q_shacl_validate(spark, sf_dir):
+    """SHACL-lite publish gate (reasoning.shacl_validate) over the
+    JSON-LD-extracted customer KG: shapes target schema:Person with a
+    missing-required-property check (schema:email minCount 1 — fires
+    via the left join, the absent-property case), a forbidden-property
+    check (address maxCount 0), a datatype mismatch (nationkey
+    declared xsd:decimal but extracted xsd:integer), a lang-literal vs
+    datatype mismatch (mktsegment declared xsd:string but extracted
+    @en), and a PASSING name shape that must emit nothing. FULL value
+    oracle: DuckDB replays all four violation populations in closed
+    form from the customer table."""
+    from tortank_spark.jsonld import extract_jsonld
+    from tortank_spark.reasoning import shacl_validate
+
+    ext = extract_jsonld(_jsonld_pages(spark, sf_dir), fixture_mode=True)
+    triples = ext.filter(F.col("parse_ok") & F.col("s").isNotNull())
+    shapes = spark.createDataFrame(
+        [
+            ("sh_email", _SCHEMA_ORG + "Person", _SCHEMA_ORG + "email",
+             1, None, None, None),
+            ("sh_addr", _SCHEMA_ORG + "Person", EX + "ns#address",
+             None, 0, None, None),
+            ("sh_natk", _SCHEMA_ORG + "Person", EX + "ns#nationkey",
+             None, None, XSD + "decimal", None),
+            ("sh_seg", _SCHEMA_ORG + "Person", EX + "ns#mktsegment",
+             None, None, XSD + "string", None),
+            ("sh_name", _SCHEMA_ORG + "Person", _SCHEMA_ORG + "name",
+             1, None, XSD + "string", None),
+        ],
+        "shape_id string, target_class string, path string, "
+        "min_count int, max_count int, datatype string, node_kind string",
+    )
+    return shacl_validate(triples, shapes).select(
+        "s", "shape_id", "code", "expected", "got")
+
+
+_ORACLE_SHACL = f"""
+WITH c AS (SELECT '{EX}customer/' || c_custkey AS s FROM customer)
+SELECT s, 'sh_email' AS shape_id, 'minCount' AS code,
+       '1' AS expected, '0' AS got FROM c
+UNION ALL
+SELECT s, 'sh_addr', 'maxCount', '0', '1' FROM c
+UNION ALL
+SELECT s, 'sh_natk', 'datatype', '{XSD}decimal', '{XSD}integer' FROM c
+UNION ALL
+SELECT s, 'sh_seg', 'datatype', '{XSD}string', 'literal' FROM c
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_extract_turtle": _q_extract_turtle,
@@ -4452,6 +4501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_link_graph": _q_link_graph,
         "web_anchor_aliases": _q_anchor_aliases,
         "kg_triple_score": _q_triple_score,
+        "kg_shacl_validate": _q_shacl_validate,
     }
 
 
@@ -4675,6 +4725,7 @@ def oracle_sql() -> dict[str, str]:
         "web_link_graph": _ORACLE_LINK_GRAPH,
         "web_anchor_aliases": _ORACLE_ANCHOR_ALIASES,
         "kg_triple_score": _ORACLE_TRIPLE_SCORE,
+        "kg_shacl_validate": _ORACLE_SHACL,
         "events_sessionize": _ORACLE_SESSIONS,
         "events_asof_join": _ORACLE_EVENTS_ASOF,
         "events_scd2_history": _ORACLE_SCD2,

@@ -112,3 +112,64 @@ def test_instance_side_single_pass_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_shacl_validate_all_violation_classes(spark):
+    """minCount via absent property (left-join case), maxCount,
+    datatype mismatch, lang-literal-vs-datatype, nodeKind — and a
+    fully-conforming shape emits nothing."""
+    from tortank_spark.reasoning import shacl_validate
+
+    T = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    XSD = "http://www.w3.org/2001/XMLSchema#"
+    triples = spark.createDataFrame([
+        ("e1", "iri", T, "C", "iri", None, None),
+        ("e1", "iri", "p:name", "Ada", "literal", XSD + "string", None),
+        ("e1", "iri", "p:age", "x", "literal", XSD + "string", None),
+        ("e1", "iri", "p:addr", "_:1", "bnode", None, None),
+        ("e1", "iri", "p:addr", "_:2", "bnode", None, None),
+        ("e2", "iri", T, "C", "iri", None, None),
+        ("e2", "iri", "p:age", "3", "literal", XSD + "integer", None),
+        ("e2", "iri", "p:tag", "hi", "literal", None, "en"),
+        ("e2", "iri", "p:ref", "lit", "literal", XSD + "string", None),
+        ("e3", "iri", T, "Other", "iri", None, None),  # not targeted
+        ("e3", "iri", "p:age", "y", "literal", XSD + "string", None),
+    ], "s string, s_kind string, p string, o string, o_kind string,"
+       " o_datatype string, o_lang string")
+    shapes = spark.createDataFrame([
+        ("sh1", "C", "p:name", 1, None, XSD + "string", None),
+        ("sh2", "C", "p:age", None, None, XSD + "integer", None),
+        ("sh3", "C", "p:addr", None, 1, None, "bnode"),
+        ("sh4", "C", "p:tag", None, None, XSD + "string", None),
+        ("sh5", "C", "p:ref", None, None, None, "iri"),
+    ], "shape_id string, target_class string, path string,"
+       " min_count int, max_count int, datatype string, node_kind string")
+    got = {(r["s"], r["shape_id"], r["code"], r["expected"], r["got"])
+           for r in shacl_validate(triples, shapes).collect()}
+    assert got == {
+        ("e1", "sh2", "datatype", XSD + "integer", XSD + "string"),
+        ("e1", "sh3", "maxCount", "1", "2"),
+        ("e2", "sh1", "minCount", "1", "0"),
+        ("e2", "sh4", "datatype", XSD + "string", "literal"),
+        ("e2", "sh5", "nodeKind", "iri", XSD + "string"),
+    }
+    # untargeted class e3 produced nothing, conforming e1/p:name nothing
+
+
+def test_shacl_validate_broadcasts_shapes(spark):
+    from tests.test_plans import plan_of
+    from tortank_spark.reasoning import shacl_validate
+
+    T = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    triples = spark.createDataFrame(
+        [("e1", "iri", T, "C", "iri", None, None)],
+        "s string, s_kind string, p string, o string, o_kind string,"
+        " o_datatype string, o_lang string")
+    shapes = spark.createDataFrame(
+        [("sh1", "C", "p:x", 1, None, None, None)],
+        "shape_id string, target_class string, path string,"
+        " min_count int, max_count int, datatype string, node_kind string")
+    plan = plan_of(shacl_validate(triples, shapes))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

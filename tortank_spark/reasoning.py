@@ -202,3 +202,107 @@ def rdfs_entailment(
     if literal_col:
         sel.append(F.col("_lit").alias(literal_col))
     return out.select(*sel)
+
+
+def shacl_validate(
+    triples: DataFrame,
+    shapes: DataFrame,
+    rdf_type: str = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+) -> DataFrame:
+    """SHACL-lite shape validation — the data-quality gate a KG runs
+    before publishing extracted triples (W3C SHACL core, the subset
+    real publish gates use: sh:minCount / sh:maxCount / sh:datatype /
+    sh:nodeKind per (targetClass, path)). tortank has no analogue
+    (single-document model, no schema layer); at 10^12 documents the
+    violations table IS the extraction-quality feedback loop.
+
+    ``shapes``: (shape_id, target_class, path, min_count, max_count,
+    datatype, node_kind) — min/max/datatype/node_kind individually
+    nullable (null = constraint not asserted). Violations -> one row
+    per (s, shape_id, code) with code in ('minCount', 'maxCount',
+    'datatype', 'nodeKind'), plus expected/got strings for the
+    report. A focus node with a MISSING required property violates
+    minCount (the left join below keeps it), which is why targeting
+    starts from rdf:type and not from the property table.
+
+    Scale shape: shapes are vocabulary-sized — BROADCAST into both
+    joins. One shuffle: the per-(s, shape_id) constraint aggregate
+    (count + bad-datatype + bad-kind ride one grouping with map-side
+    combine); focus-node targeting is a broadcast join of the type
+    triples against the shape list, then one more broadcast-key join
+    onto the aggregate (left, so absent properties surface). No
+    self-joins of the big table."""
+    sh = shapes.select(
+        "shape_id", "target_class", "path",
+        F.col("min_count").cast("long").alias("min_count"),
+        F.col("max_count").cast("long").alias("max_count"),
+        "datatype", "node_kind",
+    )
+    focus = (
+        triples.filter(
+            (F.col("p") == rdf_type) & (F.col("o_kind") == "iri"))
+        .select(F.col("s").alias("fs"), F.col("s_kind").alias("fs_kind"),
+                F.col("o").alias("target_class"))
+        .distinct()
+        .join(F.broadcast(sh), "target_class")
+    )
+    stats = (
+        triples.join(F.broadcast(sh), triples["p"] == sh["path"])
+        .groupBy(F.col("s").alias("fs"), "shape_id")
+        .agg(
+            F.count("*").alias("n"),
+            # a value violates sh:datatype when it is not a literal OR
+            # its datatype differs (null-safe: a lang-tagged literal
+            # has o_datatype null and must count as a mismatch)
+            F.sum(F.when(
+                F.col("datatype").isNotNull()
+                & ((F.col("o_kind") != "literal")
+                   | ~F.col("o_datatype").eqNullSafe(F.col("datatype"))),
+                1).otherwise(0)).alias("n_bad_dt"),
+            F.sum(F.when(
+                F.col("node_kind").isNotNull()
+                & (F.col("o_kind") != F.col("node_kind")),
+                1).otherwise(0)).alias("n_bad_kind"),
+            F.array_join(
+                F.array_sort(F.collect_set(
+                    F.coalesce(F.col("o_datatype"), F.col("o_kind")))),
+                ",").alias("got_vals"),
+        )
+    )
+    j = focus.join(stats, ["fs", "shape_id"], "left").select(
+        "fs", "shape_id", "min_count", "max_count", "datatype",
+        "node_kind",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        F.coalesce(F.col("n_bad_dt"), F.lit(0)).alias("n_bad_dt"),
+        F.coalesce(F.col("n_bad_kind"), F.lit(0)).alias("n_bad_kind"),
+        F.coalesce(F.col("got_vals"), F.lit("")).alias("got_vals"),
+    )
+    v_min = j.filter(
+        F.col("min_count").isNotNull() & (F.col("n") < F.col("min_count"))
+    ).select(
+        F.col("fs").alias("s"), "shape_id",
+        F.lit("minCount").alias("code"),
+        F.col("min_count").cast("string").alias("expected"),
+        F.col("n").cast("string").alias("got"),
+    )
+    v_max = j.filter(
+        F.col("max_count").isNotNull() & (F.col("n") > F.col("max_count"))
+    ).select(
+        F.col("fs").alias("s"), "shape_id",
+        F.lit("maxCount").alias("code"),
+        F.col("max_count").cast("string").alias("expected"),
+        F.col("n").cast("string").alias("got"),
+    )
+    v_dt = j.filter(F.col("n_bad_dt") > 0).select(
+        F.col("fs").alias("s"), "shape_id",
+        F.lit("datatype").alias("code"),
+        F.col("datatype").alias("expected"),
+        F.col("got_vals").alias("got"),
+    )
+    v_kind = j.filter(F.col("n_bad_kind") > 0).select(
+        F.col("fs").alias("s"), "shape_id",
+        F.lit("nodeKind").alias("code"),
+        F.col("node_kind").alias("expected"),
+        F.col("got_vals").alias("got"),
+    )
+    return v_min.unionByName(v_max).unionByName(v_dt).unionByName(v_kind)
