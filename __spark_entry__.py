@@ -4400,6 +4400,57 @@ SELECT s, 'sh_seg', 'datatype', '{XSD}string', 'literal' FROM c
 """
 
 
+def _q_triangles_sampled(spark, sf_dir):
+    """DOULION sampled triangle count (graph.triangle_count_sampled)
+    over the part co-purchase graph (same edge derivation as
+    kg_clustering), p = 0.2 via the deterministic md5 edge gate —
+    the 100-TB scale path next to the exact counter (BASELINE.md
+    measures the exact wedge stage at ~124 s on sf0.1; the sample
+    cuts the wedge work ~p^1.5 and the estimator scales by 1/p^3).
+    FULL value oracle: DuckDB replays the gate byte-for-byte and
+    counts triangles on the sampled subgraph with an a<b<c triple
+    join."""
+    from tortank_spark.graph import triangle_count_sampled
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pairs = li.distinct()
+    l1 = pairs.select("l_orderkey", F.col("l_partkey").alias("src"))
+    l2 = pairs.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    e = l1.join(l2, "l_orderkey").filter(
+        F.col("src") < F.col("dst")).select("src", "dst")
+    return triangle_count_sampled(e, p_ppm=200_000)
+
+
+_ORACLE_TRIANGLES_SAMPLED = """
+WITH pairs AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+canon AS (
+  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+  FROM pairs a JOIN pairs b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey
+),
+kept AS (
+  SELECT a, b FROM canon
+  WHERE CAST(concat('0x', substr(
+          md5('doulion:' || a || ':' || b), 1, 15)) AS UBIGINT)
+        % 1000000 < 200000
+),
+tri AS (
+  SELECT count(*) AS t
+  FROM kept e1
+  JOIN kept e2 ON e2.a = e1.b
+  JOIN kept e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+ke AS (SELECT count(*) AS n_edges_kept FROM kept)
+SELECT CAST(200000 AS BIGINT) AS p_ppm,
+       CAST(ke.n_edges_kept AS BIGINT) AS n_edges_kept,
+       CAST(tri.t AS BIGINT) AS n_tri_sampled,
+       CAST(tri.t * CAST(1000000 AS HUGEINT) * 1000000 * 1000000
+            // (CAST(200000 AS HUGEINT) * 200000 * 200000)
+            AS BIGINT) AS est_n_tri
+FROM tri, ke
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_extract_turtle": _q_extract_turtle,
@@ -4502,6 +4553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_anchor_aliases": _q_anchor_aliases,
         "kg_triple_score": _q_triple_score,
         "kg_shacl_validate": _q_shacl_validate,
+        "kg_triangles_sampled": _q_triangles_sampled,
     }
 
 
@@ -4726,6 +4778,7 @@ def oracle_sql() -> dict[str, str]:
         "web_anchor_aliases": _ORACLE_ANCHOR_ALIASES,
         "kg_triple_score": _ORACLE_TRIPLE_SCORE,
         "kg_shacl_validate": _ORACLE_SHACL,
+        "kg_triangles_sampled": _ORACLE_TRIANGLES_SAMPLED,
         "events_sessionize": _ORACLE_SESSIONS,
         "events_asof_join": _ORACLE_EVENTS_ASOF,
         "events_scd2_history": _ORACLE_SCD2,

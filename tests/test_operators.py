@@ -2499,3 +2499,51 @@ def test_transe_score_broadcasts_relations(spark):
     plan = plan_of(transe_score(cand, ents, ents))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_triangle_count_sampled_degenerate_probabilities(spark):
+    """p=1 must reproduce the exact global count (estimator is exact
+    at full retention); p=0 keeps nothing and estimates zero."""
+    from tortank_spark.graph import triangle_count_sampled, triangle_counts
+
+    # K6: C(6,3) = 20 triangles
+    edges = spark.createDataFrame(
+        [(i, j) for i in range(6) for j in range(i + 1, 6)],
+        "src long, dst long")
+    full = triangle_count_sampled(edges, p_ppm=1_000_000).collect()[0]
+    assert full["n_tri_sampled"] == 20 and full["est_n_tri"] == 20
+    assert full["n_edges_kept"] == 15
+    exact = triangle_counts(edges)
+    assert sum(r["n_tri"] for r in exact.collect()) == 60  # 3 per tri
+    none = triangle_count_sampled(edges, p_ppm=0).collect()[0]
+    assert none["n_edges_kept"] == 0 and none["est_n_tri"] == 0
+
+
+def test_triangle_count_sampled_gate_is_md5_deterministic(spark):
+    """The keep-gate replays in pure Python (same md5 idiom as the
+    sampling module) — run-to-run and engine-to-engine stable, and a
+    different salt redraws the sample."""
+    import hashlib
+
+    from tortank_spark.graph import triangle_count_sampled
+
+    edges = spark.createDataFrame(
+        [(i, j) for i in range(12) for j in range(i + 1, 12)],
+        "src long, dst long")
+    p_ppm = 400_000
+
+    def kept_py(salt):
+        k = 0
+        for i in range(12):
+            for j in range(i + 1, 12):
+                h = int(hashlib.md5(
+                    f"{salt}:{i}:{j}".encode()).hexdigest()[:15], 16)
+                k += (h % 1_000_000) < p_ppm
+        return k
+
+    got = triangle_count_sampled(
+        edges, p_ppm=p_ppm, salt="doulion").collect()[0]
+    assert got["n_edges_kept"] == kept_py("doulion")
+    redraw = triangle_count_sampled(
+        edges, p_ppm=p_ppm, salt="other").collect()[0]
+    assert redraw["n_edges_kept"] == kept_py("other")

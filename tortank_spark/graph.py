@@ -892,3 +892,64 @@ def reciprocity(
             ).alias("recip_ppm"),
         )
     )
+
+
+def triangle_count_sampled(
+    edges: DataFrame, src: str = "src", dst: str = "dst",
+    p_ppm: int = 200_000, salt: str = "doulion",
+) -> DataFrame:
+    """DOULION sampled global triangle count (Tsourakakis et al.,
+    KDD'09) -> ONE row (p_ppm, n_edges_kept, n_tri_sampled,
+    est_n_tri): sparsify the canonical edge set by keeping each edge
+    with probability p = p_ppm/1e6, count triangles EXACTLY on the
+    sparsified graph (triangle_counts' degree-ordered wedge join),
+    and scale by 1/p^3 — an unbiased estimator whose variance decays
+    with graph size, and at 100 TB the only affordable way to track
+    triangle density (the exact counter's wedge stage is the
+    inherent O(m^1.5) wall BASELINE.md measures at 124 s for the
+    sf0.1 co-purchase graph; p=0.2 cuts it ~125x).
+
+    NO RNG: the keep-gate is md5-low-60 of "salt:a:b" mod 1e6 <
+    p_ppm — the repo's deterministic-sampling idiom (sampling.py), so
+    the estimate is reproducible run-to-run AND replayable by the
+    DuckDB oracle byte-for-byte (md5 is engine-identical; the scale
+    division is integer DECIMAL arithmetic). Changing ``salt``
+    redraws the sample — run k salts and average for variance
+    control, each run independent and cacheable.
+    """
+    e = canonical_edges(edges, src, dst)
+    gate = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(salt), F.col("a"), F.col("b"))),
+            1, 15),
+        16, 10,
+    ).cast("long") % 1_000_000
+    kept = e.filter(gate < p_ppm)
+    per_node, handle = triangle_counts(kept, "a", "b", eager=False)
+    tri = per_node.agg(
+        F.expr("CAST(coalesce(sum(n_tri), 0) DIV 3 AS BIGINT)")
+        .alias("n_tri_sampled"))  # integer DIV: the sum is exactly 3T
+    n_kept = kept.agg(F.count("*").alias("n_edges_kept"))
+    out = (
+        tri.crossJoin(n_kept)
+        .select(
+            F.lit(p_ppm).cast("long").alias("p_ppm"),
+            "n_edges_kept", "n_tri_sampled",
+            (
+                F.expr(
+                    f"CAST(n_tri_sampled AS DECIMAL(38,0))"
+                    f" * CAST(1000000 AS DECIMAL(38,0))"
+                    f" * CAST(1000000 AS DECIMAL(38,0))"
+                    f" * CAST(1000000 AS DECIMAL(38,0))"
+                    f" DIV (CAST({p_ppm} AS DECIMAL(38,0))"
+                    f" * {p_ppm} * {p_ppm})"
+                ).cast("long")
+                if p_ppm > 0 else F.lit(0).cast("long")
+            ).alias("est_n_tri"),
+        )
+    )
+    rows = out.collect()  # 1 row — materialize, then drop the caches
+    handle.release()
+    return edges.sparkSession.createDataFrame(
+        rows, "p_ppm long, n_edges_kept long, n_tri_sampled long,"
+              " est_n_tri long")
