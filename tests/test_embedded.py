@@ -472,3 +472,40 @@ def test_extract_embedded_equals_standalone_union(spark):
     # and the multi-syntax page contributed under all three syntaxes
     multi = {t[0] for t in fused if t[1] == "u:multi"}
     assert multi == {"rdfa", "jsonld", "microdata"}
+
+
+def test_embedded_extractors_never_raise_fuzz():
+    """Property: every embedded-markup entry point returns a
+    well-shaped (triples, err) on ARBITRARY text — crawl input is
+    hostile by default, and a parser that raises loses the page (or
+    the task). Pure Python, no Spark."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from tortank_spark.jsonld import expand_jsonld, find_islands
+    from tortank_spark.microdata import extract_microdata_triples
+    from tortank_spark.rdfa import extract_rdfa_triples
+    from tortank_spark.weblinks import extract_page_links
+
+    markupish = st.text(
+        alphabet=st.sampled_from(
+            list("<>/=\"' \t\n\rabcdiv:.#@{}[],-_!;  \U0001f600")
+        ),
+        max_size=400,
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(markupish)
+    def check(text):
+        for fn in (extract_rdfa_triples, extract_microdata_triples):
+            ts, err = fn(text)
+            assert err is None
+            assert all(len(t) == 7 for t in ts)
+        ts, err = expand_jsonld(text)
+        assert isinstance(ts, list)
+        assert (err is None) or isinstance(err, str)
+        find_islands(text)
+        links = extract_page_links("http://h.example/p", text)
+        assert all(len(r) == 4 for r in links)
+
+    check()
