@@ -4451,6 +4451,44 @@ FROM tri, ke
 """
 
 
+def _q_text_chunks(spark, sf_dir):
+    """Sliding-window passage chunking (textops.chunk_windows) over
+    the documents corpus, size=64 / overlap=16 — the RAG/pretraining
+    passage-prep step, pure whole-stage-codegen column expressions
+    (split + sequence + posexplode + slice), no Python, no shuffle.
+    FULL value oracle: DuckDB replays every window (starts, slices,
+    token counts, joined text) with list functions."""
+    from tortank_spark.textops import chunk_windows
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_windows(docs, "doc_id", "text", size=64, overlap=16)
+
+
+_ORACLE_TEXT_CHUNKS = """
+WITH d AS (
+  SELECT doc_id AS id,
+         string_split(trim(regexp_replace(
+           text, '[ \t\n\r\f\v]+', ' ', 'g')), ' ') AS toks
+  FROM documents
+  WHERE length(trim(regexp_replace(
+          text, '[ \t\n\r\f\v]+', ' ', 'g'))) > 0
+),
+s AS (
+  SELECT id, toks,
+         unnest(generate_series(
+           0, greatest(len(toks) - 16 - 1, 0), 48)) AS start
+  FROM d
+)
+SELECT id,
+       CAST(start // 48 AS BIGINT) AS chunk_id,
+       CAST(len(list_slice(toks, start + 1, start + 64)) AS BIGINT)
+         AS n_tokens,
+       array_to_string(list_slice(toks, start + 1, start + 64), ' ')
+         AS chunk_text
+FROM s
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_extract_turtle": _q_extract_turtle,
@@ -4554,6 +4592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triple_score": _q_triple_score,
         "kg_shacl_validate": _q_shacl_validate,
         "kg_triangles_sampled": _q_triangles_sampled,
+        "text_chunks": _q_text_chunks,
     }
 
 
@@ -4779,6 +4818,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_triple_score": _ORACLE_TRIPLE_SCORE,
         "kg_shacl_validate": _ORACLE_SHACL,
         "kg_triangles_sampled": _ORACLE_TRIANGLES_SAMPLED,
+        "text_chunks": _ORACLE_TEXT_CHUNKS,
         "events_sessionize": _ORACLE_SESSIONS,
         "events_asof_join": _ORACLE_EVENTS_ASOF,
         "events_scd2_history": _ORACLE_SCD2,

@@ -2547,3 +2547,44 @@ def test_triangle_count_sampled_gate_is_md5_deterministic(spark):
     redraw = triangle_count_sampled(
         edges, p_ppm=p_ppm, salt="other").collect()[0]
     assert redraw["n_edges_kept"] == kept_py("other")
+
+
+def test_chunk_windows_exact_geometry(spark):
+    """Window starts, overlap sharing, short tail, single-window doc,
+    sub-overlap doc, and blank-doc exclusion — replayed by hand."""
+    from tortank_spark.textops import chunk_windows
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))),  # 10 toks
+         (2, "a b c"),                               # < overlap
+         (3, ""), (4, "   \t\n ")],                  # blank: nothing
+        "doc_id long, text string")
+    out = chunk_windows(docs, "doc_id", "text", size=4, overlap=2)
+    got = {(r["id"], r["chunk_id"]): (r["n_tokens"], r["chunk_text"])
+           for r in out.collect()}
+    # doc 1: stride 2, starts 0,2,4,6 (greatest(10-2-1,0)=7 -> 0..7
+    # step 2 -> 0,2,4,6); windows of 4, tail at 6 has 4
+    assert got == {
+        (1, 0): (4, "t0 t1 t2 t3"),
+        (1, 1): (4, "t2 t3 t4 t5"),
+        (1, 2): (4, "t4 t5 t6 t7"),
+        (1, 3): (4, "t6 t7 t8 t9"),
+        (2, 0): (3, "a b c"),
+    }
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_windows(docs, "doc_id", "text", size=4, overlap=4)
+
+
+def test_chunk_windows_is_codegen_only(spark):
+    """No Python stage, no shuffle: the chunker must stay inside
+    whole-stage codegen (split/sequence/posexplode/slice)."""
+    from tests.test_plans import plan_of
+    from tortank_spark.textops import chunk_windows
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = plan_of(chunk_windows(docs, "doc_id", "text"))
+    assert "Exchange" not in plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert "Generate" in plan  # the posexplode

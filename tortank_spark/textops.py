@@ -909,3 +909,56 @@ def group_quantiles(
         .select(F.col("_g").alias(group_col), "q_pct",
                 F.col("_v").alias("value"))
     )
+
+
+def chunk_windows(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    size: int = 128, overlap: int = 32,
+) -> DataFrame:
+    """Sliding-window passage chunking -> (id, chunk_id, n_tokens,
+    chunk_text): split each document into token windows of ``size``
+    with ``overlap`` tokens shared between consecutive windows — the
+    passage-preparation step every RAG / pretraining pipeline runs
+    between cleaning and embedding. Whitespace tokens (the explicit
+    shared class _WS_CLASS, same as the winnow path); chunk_id is the
+    0-based window index; the last window may be short but is never
+    empty; empty/blank documents emit NOTHING (no phantom chunk).
+
+    Stride = size - overlap (must be positive). A document of n
+    tokens yields ceil(max(n - overlap, 1) / stride) windows —
+    deterministic, so the DuckDB oracle replays every row.
+
+    Scale shape: pure column expressions (split + sequence +
+    posexplode + slice + array_join), whole-stage codegen end to end
+    — NO Python, NO shuffle; parallelism = input splits, and the
+    fan-out is bounded by n/stride per document."""
+    if overlap >= size:
+        raise ValueError("overlap must be smaller than size")
+    stride = size - overlap
+    toks = F.split(
+        F.trim(F.regexp_replace(F.col(text_col), _WS_CLASS, " ")), " ")
+    n = F.size(toks)
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(n - F.lit(overlap) - 1, F.lit(0)),
+        F.lit(stride),
+    )
+    exploded = (
+        df.select(
+            F.col(id_col).alias("id"),
+            toks.alias("_toks"),
+            n.alias("_n"),
+            starts.alias("_starts"),
+        )
+        .filter(F.col("_n") > 0)
+        .filter(F.length(F.concat_ws("", "_toks")) > 0)
+        .select("id", "_toks", "_n",
+                F.posexplode("_starts").alias("chunk_id", "_start"))
+    )
+    win = F.slice(F.col("_toks"), F.col("_start") + 1, size)
+    return exploded.select(
+        "id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size(win).cast("long").alias("n_tokens"),
+        F.array_join(win, " ").alias("chunk_text"),
+    )
