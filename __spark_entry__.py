@@ -4489,6 +4489,44 @@ FROM s
 """
 
 
+def _q_robots_filter(spark, sf_dir):
+    """Robots-exclusion fetch gate (weburl.robots_filter): every part
+    catalog host publishes Disallow /p/1 (a PREFIX — it also blocks
+    /p/10..19, /p/100.., per RFC 9309 prefix semantics) plus a longer
+    Allow /p/12 that re-permits its subtree, with Allow / as the
+    default rule; longest match wins, Allow beats Disallow on ties.
+    FULL value oracle: DuckDB replays the longest-prefix decision in
+    closed form over the part table."""
+    from tortank_spark.weburl import robots_filter
+
+    part = _t(spark, sf_dir, "part")
+    urls = part.select(
+        F.concat(F.lit("http://part-"), F.col("p_partkey") % 20,
+                 F.lit(".cat.example/p/"), F.col("p_partkey")).alias("url")
+    )
+    hosts = spark.range(20).select(
+        F.concat(F.lit("part-"), F.col("id"),
+                 F.lit(".cat.example")).alias("host"))
+    directives = spark.createDataFrame(
+        [("/", True), ("/p/1", False), ("/p/12", True)],
+        "path_prefix string, allow boolean")
+    rules = hosts.crossJoin(directives)
+    return robots_filter(urls, rules).select("url", "rule_path", "allowed")
+
+
+_ORACLE_ROBOTS = """
+SELECT 'http://part-' || (p_partkey % 20) || '.cat.example/p/'
+         || p_partkey AS url,
+       CASE WHEN ('/p/' || p_partkey) LIKE '/p/12%' THEN '/p/12'
+            WHEN ('/p/' || p_partkey) LIKE '/p/1%' THEN '/p/1'
+            ELSE '/' END AS rule_path,
+       CASE WHEN ('/p/' || p_partkey) LIKE '/p/12%' THEN TRUE
+            WHEN ('/p/' || p_partkey) LIKE '/p/1%' THEN FALSE
+            ELSE TRUE END AS allowed
+FROM part
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_extract_turtle": _q_extract_turtle,
@@ -4593,6 +4631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_shacl_validate": _q_shacl_validate,
         "kg_triangles_sampled": _q_triangles_sampled,
         "text_chunks": _q_text_chunks,
+        "web_robots_filter": _q_robots_filter,
     }
 
 
@@ -4819,6 +4858,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_shacl_validate": _ORACLE_SHACL,
         "kg_triangles_sampled": _ORACLE_TRIANGLES_SAMPLED,
         "text_chunks": _ORACLE_TEXT_CHUNKS,
+        "web_robots_filter": _ORACLE_ROBOTS,
         "events_sessionize": _ORACLE_SESSIONS,
         "events_asof_join": _ORACLE_EVENTS_ASOF,
         "events_scd2_history": _ORACLE_SCD2,

@@ -509,3 +509,46 @@ def test_embedded_extractors_never_raise_fuzz():
         assert all(len(r) == 4 for r in links)
 
     check()
+
+
+def test_rdfa_resource_with_typeof_chains_subject():
+    """property + resource + typeof: the IRI object is emitted on the
+    parent subject, gets the rdf:type, and becomes the subject for
+    descendants (RDFa chaining through an explicit resource)."""
+    ts, err = extract_rdfa_triples(
+        '<div vocab="http://s/" about="http://a/1">'
+        '<div property="knows" resource="http://a/2" typeof="Person">'
+        '<span property="name">B</span></div></div>'
+    )
+    assert err is None
+    assert set(ts) == {
+        ("http://a/1", "iri", "http://s/knows", "http://a/2", "iri",
+         None, None),
+        ("http://a/2", "iri", RDF_TYPE, "http://s/Person", "iri",
+         None, None),
+        ("http://a/2", "iri", "http://s/name", "B", "literal",
+         XSD + "string", None),
+    }
+
+
+def test_robots_filter_longest_match_and_defaults(spark):
+    from tortank_spark.weburl import robots_filter
+
+    urls = spark.createDataFrame(
+        [("http://a.com/p/1",), ("http://a.com/p/12/x",),
+         ("http://a.com/other",), ("http://norules.com/x",),
+         ("http://a.com/p/1",)],  # duplicate row must survive
+        "url string")
+    rules = spark.createDataFrame(
+        [("a.com", "/", True), ("a.com", "/p/1", False),
+         ("a.com", "/p/12", True)],
+        "host string, path_prefix string, allow boolean")
+    rows = robots_filter(urls, rules).collect()
+    got = sorted((r["url"], r["rule_path"], r["allowed"]) for r in rows)
+    assert got == [
+        ("http://a.com/other", "/", True),
+        ("http://a.com/p/1", "/p/1", False),
+        ("http://a.com/p/1", "/p/1", False),       # duplicate kept
+        ("http://a.com/p/12/x", "/p/12", True),    # longer Allow wins
+        ("http://norules.com/x", None, True),      # no rules: allowed
+    ]

@@ -159,3 +159,69 @@ def domain_rollup(
             F.max("path_depth").alias("max_depth"),
         )
     )
+
+
+def robots_filter(
+    urls: DataFrame, rules: DataFrame, url_col: str = "url",
+) -> DataFrame:
+    """Robots-exclusion URL gate -> the input rows with
+    (rule_path, allowed) attached: for each URL, the LONGEST matching
+    path-prefix rule of its host decides (the REP longest-match rule,
+    RFC 9309 §2.2.2; Allow wins ties with Disallow at equal length,
+    also per the RFC); hosts with no matching rule default to
+    allowed. This is the fetch gate a crawl pipeline applies between
+    frontier and fetcher — and at re-process time, the compliance
+    filter over an already-crawled page table.
+
+    ``rules``: (host, path_prefix, allow) — one row per robots.txt
+    directive, host already lowercased. Matching is plain
+    starts-with on the URL path (the '*'/'$' wildcard extension is
+    out of scope, documented — RFC 9309 §2.2.3 marks it optional).
+
+    Scale shape: ONE equi-join on host (broadcast when the rule table
+    is small; rules are per-host and bounded by robots.txt sizes, so
+    even the full web's rule table is ~host-count-sized — shuffle
+    join on host stays balanced because a host's rule fan-out is
+    bounded by its robots.txt length), then max_by over
+    (match_len, allow) picks the longest match per URL in the same
+    aggregate — no window, no second pass."""
+    p = url_parts(F.col(url_col))
+    # the row nonce keeps duplicate input rows distinct through the
+    # aggregate (task-retry-safe: it is grouping-only, never emitted)
+    u = (
+        urls.withColumn("_rf_uid", F.monotonically_increasing_id())
+        .withColumn("_rf_host", p["host"])
+        .withColumn("_rf_path", p["path"])
+    )
+    r = rules.select(
+        F.col("host").alias("_rf_host"),
+        F.col("path_prefix").alias("_rf_prefix"),
+        F.col("allow").cast("boolean").alias("_rf_allow"),
+    )
+    j = u.join(r, "_rf_host", "left").withColumn(
+        "_rf_match",
+        F.col("_rf_prefix").isNotNull()
+        & F.col("_rf_path").startswith(F.col("_rf_prefix")),
+    )
+    # longest match wins; Allow beats Disallow at equal length:
+    # order key = (len, allow) lexicographic via max(struct)
+    best = (
+        j.groupBy(*urls.columns, "_rf_uid", "_rf_path")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("_rf_match"),
+                    F.struct(
+                        F.length("_rf_prefix").alias("l"),
+                        F.col("_rf_allow").alias("a"),
+                        F.col("_rf_prefix").alias("p"),
+                    ),
+                )
+            ).alias("_rf_best")
+        )
+    )
+    return best.select(
+        *urls.columns,
+        F.col("_rf_best.p").alias("rule_path"),
+        F.coalesce(F.col("_rf_best.a"), F.lit(True)).alias("allowed"),
+    )
