@@ -621,3 +621,23 @@ def test_crawl_delta_single_shuffle_no_join(spark):
     assert "Join" not in plan and "CartesianProduct" not in plan
     # map-side partial combine before the exchange
     assert plan.count("HashAggregate") >= 2
+
+
+def test_robots_filter_no_window_no_cartesian(spark):
+    """robots_filter must stay join+aggregate: the longest-match pick
+    is max(struct(len, allow)) on the grouping — never a per-host
+    Window sort (celebrity hosts), never a cartesian."""
+    from tortank_spark.weburl import robots_filter
+
+    urls = spark.createDataFrame([("http://a.com/x",)], "url string")
+    rules = spark.createDataFrame(
+        [("a.com", "/", True)],
+        "host string, path_prefix string, allow boolean")
+    plan = plan_of(robots_filter(urls, rules))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # struct-valued max plans as SortAggregate/ObjectHashAggregate
+    # depending on codegen support — any aggregate is fine, a Window
+    # is not
+    assert "Aggregate" in plan
