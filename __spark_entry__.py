@@ -4527,6 +4527,60 @@ FROM part
 """
 
 
+def _q_host_components(spark, sf_dir):
+    """Web-graph product composed with canonicalization: the host
+    link graph (weblinks) fed into connected_components, returning
+    per-host (host, component, n_hosts_in_component) — the "site
+    cluster" report a crawl planner partitions fetch capacity by,
+    and the composition proof that the web-graph stage and the KG
+    canonicalization stage share one edge vocabulary. FULL value
+    oracle: DuckDB rebuilds the host edges from orders x lineitem and
+    replays reachability with a recursive CTE + min-per-component."""
+    from tortank_spark.canonicalize import connected_components
+    from tortank_spark.weblinks import extract_links, host_link_graph
+
+    g = host_link_graph(extract_links(_link_pages(spark, sf_dir)))
+    edges = g.select(F.col("src_host").alias("src"),
+                     F.col("dst_host").alias("dst"))
+    comp = connected_components(edges)
+    sizes = comp.groupBy("canonical").agg(
+        F.count("*").alias("n_hosts_in_component"))
+    return (
+        comp.join(sizes, "canonical")
+        .select(F.col("iri").alias("host"),
+                F.col("canonical").alias("component"),
+                "n_hosts_in_component")
+    )
+
+
+_ORACLE_HOST_COMPONENTS = """
+WITH RECURSIVE he AS (
+  SELECT DISTINCT
+         'cust-' || (o_custkey % 100) || '.shop.example' AS src,
+         'part-' || (l_partkey % 20) || '.cat.example' AS dst
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+und AS (
+  SELECT src AS a, dst AS b FROM he
+  UNION SELECT dst, src FROM he
+),
+nodes AS (SELECT DISTINCT a AS n FROM und),
+reach(n, m) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT r.n, u.b FROM reach r JOIN und u ON u.a = r.m
+),
+comp AS (SELECT n AS host, min(m) AS component FROM reach GROUP BY n),
+sz AS (
+  SELECT component, count(*) AS n_hosts_in_component
+  FROM comp GROUP BY component
+)
+SELECT c.host, c.component, CAST(sz.n_hosts_in_component AS BIGINT)
+         AS n_hosts_in_component
+FROM comp c JOIN sz USING (component)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_extract_turtle": _q_extract_turtle,
@@ -4632,6 +4686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triangles_sampled": _q_triangles_sampled,
         "text_chunks": _q_text_chunks,
         "web_robots_filter": _q_robots_filter,
+        "web_host_components": _q_host_components,
     }
 
 
@@ -4859,6 +4914,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_triangles_sampled": _ORACLE_TRIANGLES_SAMPLED,
         "text_chunks": _ORACLE_TEXT_CHUNKS,
         "web_robots_filter": _ORACLE_ROBOTS,
+        "web_host_components": _ORACLE_HOST_COMPONENTS,
         "events_sessionize": _ORACLE_SESSIONS,
         "events_asof_join": _ORACLE_EVENTS_ASOF,
         "events_scd2_history": _ORACLE_SCD2,
