@@ -2588,3 +2588,32 @@ def test_chunk_windows_is_codegen_only(spark):
     assert "Exchange" not in plan
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
     assert "Generate" in plan  # the posexplode
+
+
+def test_chunk_windows_reconstruct_document(spark):
+    """PROPERTY: dropping each window's first `overlap` tokens (after
+    window 0) and concatenating reconstructs the original token
+    stream exactly — no token lost, duplicated, or reordered, for
+    lengths spanning every boundary case around size/stride."""
+    from tortank_spark.textops import chunk_windows
+
+    size, overlap = 8, 3
+    stride = size - overlap
+    lengths = [1, 2, overlap, overlap + 1, size - 1, size, size + 1,
+               2 * stride, 2 * stride + overlap, 37, 100]
+    docs = spark.createDataFrame(
+        [(n, " ".join(f"w{i}" for i in range(n))) for n in lengths],
+        "doc_id long, text string")
+    out = chunk_windows(docs, "doc_id", "text", size=size,
+                        overlap=overlap).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["id"], []).append(
+            (r["chunk_id"], r["chunk_text"].split(" ")))
+    for n in lengths:
+        chunks = [t for _, t in sorted(by_doc[n])]
+        rebuilt = list(chunks[0])
+        for c in chunks[1:]:
+            assert c[:overlap] == rebuilt[-overlap:]  # overlap agrees
+            rebuilt.extend(c[overlap:])
+        assert rebuilt == [f"w{i}" for i in range(n)], n
