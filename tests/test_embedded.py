@@ -552,3 +552,30 @@ def test_robots_filter_longest_match_and_defaults(spark):
         ("http://a.com/p/12/x", "/p/12", True),    # longer Allow wins
         ("http://norules.com/x", None, True),      # no rules: allowed
     ]
+
+
+def test_rdfa_about_with_property_on_same_element():
+    """@about + @property on ONE element: RDFa Core resolves the new
+    subject to @about and the property attaches to IT, not to the
+    parent's subject; @typeof types the @about subject too (no
+    chaining when @about is present)."""
+    ts, err = extract_rdfa_triples(
+        '<div vocab="http://s/" about="http://outer/1">'
+        '<div about="http://inner/2" property="name" typeof="Thing">'
+        "Inner Name</div></div>"
+    )
+    assert err is None
+    assert set(ts) == {
+        ("http://inner/2", "iri", "http://s/name", "Inner Name",
+         "literal", XSD + "string", None),
+        ("http://inner/2", "iri", RDF_TYPE, "http://s/Thing", "iri",
+         None, None),
+    }
+    ts2, err2 = extract_rdfa_triples(
+        '<div vocab="http://s/" about="http://outer/1">'
+        '<meta about="http://inner/2" property="p" content="v">'
+        "</div>"
+    )
+    assert err2 is None
+    assert ("http://inner/2", "iri", "http://s/p", "v", "literal",
+            XSD + "string", None) in ts2

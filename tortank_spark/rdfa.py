@@ -248,15 +248,20 @@ def extract_rdfa_triples(
                     props.append(p)
 
         # typeof on a property-less element types the new subject;
-        # typeof WITH property types the chained object (below)
+        # typeof WITH property (and no @about) types the chained
+        # object (below). When @about is present, property triples
+        # attach to the NEW subject and typeof types it too — RDFa
+        # Core 1.1 §7.5: @about wins the new-subject resolution and
+        # both @property and @typeof then refer to it.
+        ps, pk = fr.subject, fr.s_kind  # == @about subject if set,
+        #                                 else the inherited parent's
         chained_obj: tuple[str, str] | None = None
-        if props and parent.subject is not None:
-            if res:
+        if props and ps is not None:
+            if res and about is None:
                 obj = as_node(res)
                 if obj is not None:
                     for p in props:
-                        emit((parent.subject, parent.s_kind, p,
-                              obj[0], obj[1], None, None))
+                        emit((ps, pk, p, obj[0], obj[1], None, None))
                     if typeof_attr is not None:
                         chained_obj = obj
             elif "content" in attrs:
@@ -266,19 +271,18 @@ def extract_rdfa_triples(
                                  fr.prefixes, as_term=True)
                 for p in props:
                     if dt is not None:
-                        emit((parent.subject, parent.s_kind, p,
-                              attrs["content"], "literal", dt, None))
+                        emit((ps, pk, p, attrs["content"],
+                              "literal", dt, None))
                     elif fr.lang:
-                        emit((parent.subject, parent.s_kind, p,
-                              attrs["content"], "literal", None, fr.lang))
+                        emit((ps, pk, p, attrs["content"],
+                              "literal", None, fr.lang))
                     else:
-                        emit((parent.subject, parent.s_kind, p,
-                              attrs["content"], "literal",
-                              XSD + "string", None))
-            elif typeof_attr is not None:
+                        emit((ps, pk, p, attrs["content"],
+                              "literal", XSD + "string", None))
+            elif typeof_attr is not None and about is None:
                 chained_obj = (fresh_bnode(), "bnode")
                 for p in props:
-                    emit((parent.subject, parent.s_kind, p,
+                    emit((ps, pk, p,
                           chained_obj[0], chained_obj[1], None, None))
             else:
                 fr.lit_props = props
@@ -288,8 +292,9 @@ def extract_rdfa_triples(
                                         fr.prefixes, as_term=True)
                 fr.lit_lang = fr.lang
                 fr.buf = []
-                # literal subject is the PARENT's subject
-                fr.subject, fr.s_kind = parent.subject, parent.s_kind
+                # text-literal subject: stays ps (the @about subject
+                # when present, else the parent's)
+                fr.subject, fr.s_kind = ps, pk
 
         if chained_obj is not None:
             fr.subject, fr.s_kind = chained_obj
