@@ -4581,6 +4581,36 @@ FROM comp c JOIN sz USING (component)
 """
 
 
+def _q_embedded_metrics(spark, sf_dir):
+    """Per-syntax observability rollup of the fused extractor: one
+    row per embedded syntax with contributing-page and triple counts
+    over the mixed corpus — the extraction-monitoring view a crawl
+    operator watches (a syntax's share collapsing between crawls is
+    the markup-drift alarm). One aggregate on the fused stage's
+    output; no second scan. FULL value oracle: counts over the three
+    reconstructions."""
+    from tortank_spark.extract import extract_embedded
+
+    pages = (
+        _nation_pages(spark, sf_dir)
+        .unionByName(_jsonld_pages(spark, sf_dir))
+        .unionByName(_rdfa_pages(spark, sf_dir))
+    )
+    t = extract_embedded(pages, fixture_mode=True)
+    return t.groupBy("syntax").agg(
+        F.countDistinct("url").alias("n_pages"),
+        F.count("*").alias("n_triples"),
+    )
+
+
+_ORACLE_EMBEDDED_METRICS = f"""
+SELECT syntax, CAST(count(DISTINCT url) AS BIGINT) AS n_pages,
+       CAST(count(*) AS BIGINT) AS n_triples
+FROM ({_ORACLE_EXTRACT_EMBEDDED})
+GROUP BY syntax
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_extract_turtle": _q_extract_turtle,
@@ -4687,6 +4717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_chunks": _q_text_chunks,
         "web_robots_filter": _q_robots_filter,
         "web_host_components": _q_host_components,
+        "kg_embedded_metrics": _q_embedded_metrics,
     }
 
 
@@ -4915,6 +4946,7 @@ def oracle_sql() -> dict[str, str]:
         "text_chunks": _ORACLE_TEXT_CHUNKS,
         "web_robots_filter": _ORACLE_ROBOTS,
         "web_host_components": _ORACLE_HOST_COMPONENTS,
+        "kg_embedded_metrics": _ORACLE_EMBEDDED_METRICS,
         "events_sessionize": _ORACLE_SESSIONS,
         "events_asof_join": _ORACLE_EVENTS_ASOF,
         "events_scd2_history": _ORACLE_SCD2,
