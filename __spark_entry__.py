@@ -20,6 +20,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from pyspark.sql import DataFrame, SparkSession
 import pyspark.sql.functions as F
 
+from tortank_spark.session import ensure_parallelism as _fan
+
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
@@ -277,7 +279,7 @@ def _q_top_revenue(spark, sf_dir):
 def _q_exact_dedup(spark, sf_dir):
     from tortank_spark.dedup import exact_dedup
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fan(_t(spark, sf_dir, "documents"))
     return exact_dedup(docs, "doc_id").select("fingerprint", "doc_id", "n_dups")
 
 
@@ -649,7 +651,7 @@ def _q_filter_decision(spark, sf_dir):
 def _q_quality(spark, sf_dir):
     from tortank_spark.textops import quality_features
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fan(_t(spark, sf_dir, "documents"))
     q = quality_features(docs)
     return q.select(
         "doc_id",
@@ -768,9 +770,9 @@ def _q_entity_link(spark, sf_dir):
     """Entity linking against a literal broadcast alias dictionary."""
     from tortank_spark.linking import detect_mentions, link_mentions
 
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _fan(_t(spark, sf_dir, "documents").select(
         F.concat(F.lit("urn:doc:"), F.col("doc_id")).alias("url"), "text"
-    )
+    ))
     alias = spark.createDataFrame(
         _ALIAS_ROWS, "alias string, entity_iri string, prior double"
     )
@@ -791,9 +793,9 @@ def _q_entity_cooccur(spark, sf_dir):
         detect_mentions, entity_cooccurrence, link_mentions,
     )
 
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _fan(_t(spark, sf_dir, "documents").select(
         F.concat(F.lit("urn:doc:"), F.col("doc_id")).alias("url"), "text"
-    )
+    ))
     alias = spark.createDataFrame(
         _ALIAS_ROWS, "alias string, entity_iri string, prior double"
     )
@@ -817,7 +819,7 @@ def _q_topk_cosine(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-    return topk_cosine(emb.filter(F.col("vec_id") != 0), "embedding",
+    return topk_cosine(_fan(emb.filter(F.col("vec_id") != 0)), "embedding",
                        [float(x) for x in q], k=10)
 
 
@@ -901,7 +903,7 @@ def _q_minhash_neardup(spark, sf_dir):
         lsh_candidate_pairs, minhash_signatures, ngram_jaccard_pairs,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fan(_t(spark, sf_dir, "documents"))
     # persist: the signature stage feeds both sides of the band
     # self-join; the candidate pairs feed the verify join plus both
     # semi-join sides of the shingle narrowing. Materialize the small
@@ -930,7 +932,7 @@ def _q_minhash_verified(spark, sf_dir):
         lsh_candidate_pairs, minhash_signatures, ngram_jaccard_pairs,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fan(_t(spark, sf_dir, "documents"))
     sigs = minhash_signatures(docs, "doc_id").persist()
     cand = lsh_candidate_pairs(sigs, "doc_id").persist()
     try:
@@ -1071,7 +1073,7 @@ def _q_dedup_clusters(spark, sf_dir):
         ngram_jaccard_pairs,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fan(_t(spark, sf_dir, "documents"))
     sigs = minhash_signatures(docs, "doc_id").persist()
     cand = lsh_candidate_pairs(sigs, "doc_id").persist()
     try:
@@ -1173,7 +1175,7 @@ def _q_ngram_jaccard(spark, sf_dir):
     every true pair shares at least one sub-boilerplate shingle)."""
     from tortank_spark.dedup import ngram_jaccard_dedup_pairs
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fan(_t(spark, sf_dir, "documents"))
     return ngram_jaccard_dedup_pairs(
         docs, "doc_id", n=3, max_df=20, threshold=0.5
     )
@@ -1225,7 +1227,7 @@ def _q_simhash(spark, sf_dir):
     sign -> bit pack)."""
     from tortank_spark.dedup import simhash_signatures
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fan(_t(spark, sf_dir, "documents"))
     return simhash_signatures(docs, "doc_id")
 
 
@@ -1585,7 +1587,7 @@ def _q_winnow_fingerprint(spark, sf_dir):
     shared explicit ASCII class textops._WS_CLASS on both engines."""
     from tortank_spark.textops import winnow_fingerprints
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fan(_t(spark, sf_dir, "documents"))
     return winnow_fingerprints(docs, "doc_id")
 
 
@@ -1706,7 +1708,7 @@ def _q_winnow_neardup(spark, sf_dir):
     selection, df cap, self-join, overlap count."""
     from tortank_spark.textops import winnow_dedup_pairs
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fan(_t(spark, sf_dir, "documents"))
     return winnow_dedup_pairs(docs, "doc_id")
 
 
@@ -1731,7 +1733,7 @@ def _q_winnow_spans(spark, sf_dir):
     gaps-and-islands window arithmetic (lag + running sum)."""
     from tortank_spark.textops import winnow_match_spans
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fan(_t(spark, sf_dir, "documents"))
     return winnow_match_spans(docs, "doc_id")
 
 
@@ -2882,7 +2884,7 @@ def _q_contamination(spark, sf_dir):
 
     from tortank_spark.textops import winnow_contamination
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fan(_t(spark, sf_dir, "documents"))
     corpus = docs.filter(F.col("doc_id") % 2 == 0)
     evals = docs.filter(F.col("doc_id") % 2 == 1).select(
         F.col("doc_id").alias("eval_id"), "text"
@@ -2967,7 +2969,12 @@ def _q_multimodal_features(spark, sf_dir):
     per-element layout pins every value individually anyway."""
     from tortank_spark.multimodal import extract_features, make_media_table
 
-    media = make_media_table(spark, n=32)
+    # coalesce: 32 fixture rows land on defaultParallelism (32) local
+    # partitions -> 32 one-row python decode tasks, each paying the
+    # fixed per-task Python-runner handshake (~0.13 s measured on this
+    # host); 4 partitions keep the decode parallel enough for 32 rows
+    # while cutting the fixed cost 8x (guide §2.2: fewer, larger tasks)
+    media = make_media_table(spark, n=32).coalesce(4)
     feat = extract_features(media).join(
         media.select("media_id", "content_sha256"), "content_sha256"
     )
@@ -4099,7 +4106,7 @@ def _q_extract_embedded(spark, sf_dir):
     union of the three reconstructions."""
     from tortank_spark.extract import extract_embedded
 
-    pages = (
+    pages = _fan(
         _nation_pages(spark, sf_dir)
         .unionByName(_jsonld_pages(spark, sf_dir))
         .unionByName(_rdfa_pages(spark, sf_dir))
@@ -4591,7 +4598,7 @@ def _q_embedded_metrics(spark, sf_dir):
     reconstructions."""
     from tortank_spark.extract import extract_embedded
 
-    pages = (
+    pages = _fan(
         _nation_pages(spark, sf_dir)
         .unionByName(_jsonld_pages(spark, sf_dir))
         .unionByName(_rdfa_pages(spark, sf_dir))

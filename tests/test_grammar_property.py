@@ -195,3 +195,43 @@ def test_winnow_hash_vectorized_matches_python_fold(text):
                 h = h * B + cp[j : j + n_grams]
             got = [int(x) for x in fin(h)]
     assert got == want
+
+
+def test_fast_canonical_datetime_z_matches_slow_path():
+    """The extraction hot path renders 'YYYY-MM-DDTHH:MM:SS(.f)Z'
+    canonically without a datetime round trip; wherever it answers it
+    must agree byte-for-byte with parse_instant+canonical_datetime,
+    and it must decline (None) every value the datetime constructor
+    would reject so the quoted-literal fallback is preserved."""
+    import itertools
+    import random
+
+    from tortank_spark.grammar.lexical import (
+        canonical_datetime, fast_canonical_datetime_z, parse_instant,
+    )
+
+    rng = random.Random(20260822)
+    fracs = ["", ".1", ".99", ".123", ".999999", ".0000005", ".12345678901"]
+    for _ in range(4000):
+        y = rng.choice([0, 1, 399, 1900, 2000, 2023, 2024, 9999])
+        mo = rng.randint(0, 13)
+        d = rng.randint(0, 32)
+        h = rng.randint(0, 24)
+        mi = rng.randint(0, 60)
+        s = rng.randint(0, 60)
+        frac = rng.choice(fracs)
+        z = rng.choice(["Z", "z"])
+        v = f"{y:04d}-{mo:02d}-{d:02d}T{h:02d}:{mi:02d}:{s:02d}{frac}{z}"
+        fast = fast_canonical_datetime_z(v)
+        inst = parse_instant(v, 0)
+        slow = canonical_datetime(inst, False) if inst is not None else None
+        if fast is None:
+            # fast may decline only when the slow path also rejects
+            assert slow is None, (v, slow)
+        else:
+            assert fast == slow, (v, fast, slow)
+    # shapes the fast path must always decline (slow path semantics
+    # differ: space separator, offsets, naive values)
+    for v in ["2024-10-05 03:12:45Z", "2024-10-05T03:12:45+02:00",
+              "2024-10-05T03:12:45", "2024-10-05t03:12:45Z"]:
+        assert fast_canonical_datetime_z(v) is None

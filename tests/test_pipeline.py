@@ -229,3 +229,22 @@ def test_pipeline_embedded_mode(spark, tmp_path):
     stats2 = run_pipeline(spark, pages, out, n_buckets=2,
                           syntax_mode="embedded")
     assert stats2["buckets_ran"] == [] and stats2["global_phase"] == "skipped"
+
+
+def test_ensure_parallelism_fans_out_narrow_input_only(spark):
+    """ensure_parallelism (guide §2.4/§6): a narrow source (fewer
+    partitions than the cluster) is repartitioned to factor*cores so
+    compute-heavy stages see full parallelism; an input that already
+    has >= defaultParallelism partitions passes through untouched (at
+    scale the helper must never introduce a shuffle). Row values are
+    unchanged either way."""
+    from tortank_spark.session import ensure_parallelism
+
+    p = spark.sparkContext.defaultParallelism
+    narrow = spark.range(1000).coalesce(1)
+    fanned = ensure_parallelism(narrow)
+    assert fanned.rdd.getNumPartitions() == 2 * p
+    assert sorted(r.id for r in fanned.collect()) == list(range(1000))
+
+    wide = spark.range(1000).repartition(p)
+    assert ensure_parallelism(wide) is wide

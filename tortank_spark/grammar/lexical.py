@@ -151,6 +151,61 @@ def parse_instant(value: str, local_utc_offset_seconds: int = 0):
         return None
 
 
+_FAST_DTZ_RE = re.compile(
+    r"(\d{4})-(\d{2})-(\d{2})T(\d{2}):(\d{2}):(\d{2})(\.\d+)?[Zz]\Z"
+)
+_DAYS_IN_MONTH = (31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31)
+_DIM_STR = {
+    f"{i + 1:02d}": str(n) for i, n in enumerate(_DAYS_IN_MONTH)
+}
+
+
+def _is_leap(y: int) -> bool:
+    return y % 4 == 0 and (y % 100 != 0 or y % 400 == 0)
+
+
+def fast_canonical_datetime_z(value: str):
+    """``canonical_datetime(parse_instant(v), preserve_offset=False)``
+    for the dominant web-timestamp shape ``YYYY-MM-DDTHH:MM:SS(.f)Z``
+    without constructing a ``datetime`` (hot in extraction: one
+    datetime + tzinfo + astimezone per temporal literal). Returns None
+    when the shape or calendar validation doesn't apply — the caller
+    falls back to the full ``parse_instant`` ladder, so behavior is
+    byte-identical by construction: the canonical body is the input's
+    own digits (the slow path re-renders exactly them), milliseconds
+    use the identical ``int(float(frac) * 1e6) // 1000`` truncation,
+    and every range the ``datetime`` constructor enforces (month 1-12,
+    real calendar day incl. leap years, h<=23, m/s<=59, year>=1) is
+    checked here so invalid values keep flowing to the slow path and
+    from there to the reference's quoted-literal fallback."""
+    m = _FAST_DTZ_RE.match(value)
+    if m is None:
+        return None
+    # field positions are fixed for this shape; 2-char numeric strings
+    # compare like their values, so validation needs no int() parses
+    mo = value[5:7]
+    d = value[8:10]
+    if not (
+        "01" <= mo <= "12"
+        and value[11:13] <= "23"          # hour
+        and value[14:16] <= "59"          # minute
+        and value[17:19] <= "59"          # second
+        and "01" <= d
+        and value[:4] != "0000"           # datetime MINYEAR is 1
+    ):
+        return None
+    dim = _DIM_STR[mo]
+    if d > dim and not (
+        mo == "02" and d == "29" and _is_leap(int(value[:4]))
+    ):
+        return None
+    frac = m.group(7)
+    if not frac:
+        return value[:19] + ".000Z"
+    micro = int(float(frac) * 1_000_000)
+    return f"{value[:19]}.{micro // 1000:03d}Z"
+
+
 def canonical_datetime(dt: datetime, preserve_offset: bool = False) -> str:
     """RFC3339 with milliseconds — preserves chrono DateTime
     instant-equality classes (reference Display uses

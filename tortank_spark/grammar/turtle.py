@@ -64,6 +64,7 @@ from .lexical import (
     I64_MIN,
     canonical_date,
     canonical_datetime,
+    fast_canonical_datetime_z,
     has_scheme,
     parse_bool_strict,
     parse_f32_strict,
@@ -479,6 +480,13 @@ class TurtleParser:
         if dt == XSD_DOUBLE:
             return Node(LIT_K, rust_f64_str(parse_f64_strict(value)), dt)
         if dt in (XSD_DATE_TIME, XSD_DATE):
+            if dt == XSD_DATE_TIME and not self.preserve_dt_offset:
+                # hot path: 'YYYY-MM-DDTHH:MM:SS(.f)Z' renders its own
+                # canonical form without a datetime round trip; None
+                # falls through to the full chrono-ladder replay
+                fast = fast_canonical_datetime_z(value)
+                if fast is not None:
+                    return Node(LIT_K, fast, dt)
             inst = parse_instant(value, self.local_off)
             if inst is not None:
                 canon = (

@@ -23,6 +23,32 @@ import os
 from pyspark.sql import SparkSession
 
 
+def ensure_parallelism(df, factor: int = 2):
+    """Give a narrow source at least cluster parallelism before an
+    expensive per-row stage (guide §2.4/§6: scan parallelism bounds
+    the whole job when the stage after it is compute-heavy).
+
+    Local parquet fixtures are single-row-group files, so the scan
+    yields ONE non-empty partition regardless of
+    ``spark.sql.files.maxPartitionBytes`` / ``minPartitionNum`` —
+    Spark can only split parquet at row-group boundaries — and every
+    downstream Arrow/codegen stage runs on one core. A round-robin
+    repartition of the (small) source rows buys full parallelism for
+    the price of shuffling kilobyte-scale rows once.
+
+    Scale-adaptive by construction: when the input already has at
+    least ``defaultParallelism`` partitions (any real at-scale input,
+    where files >> cores), this is a NO-OP — it never introduces a
+    shuffle of well-partitioned data. The repartition target derives
+    from the session's core count, never a constant.
+    """
+    sc = df.sparkSession.sparkContext
+    p = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= p:
+        return df
+    return df.repartition(factor * p)
+
+
 def get_spark(app: str = "tortank-spark", cpus: int | None = None,
               shuffle_partitions: int | None = None) -> SparkSession:
     if cpus is None:
