@@ -279,7 +279,7 @@ def _q_top_revenue(spark, sf_dir):
 def _q_exact_dedup(spark, sf_dir):
     from tortank_spark.dedup import exact_dedup
 
-    docs = _fan(_t(spark, sf_dir, "documents"))
+    docs = _t(spark, sf_dir, "documents")
     return exact_dedup(docs, "doc_id").select("fingerprint", "doc_id", "n_dups")
 
 
@@ -2969,12 +2969,7 @@ def _q_multimodal_features(spark, sf_dir):
     per-element layout pins every value individually anyway."""
     from tortank_spark.multimodal import extract_features, make_media_table
 
-    # coalesce: 32 fixture rows land on defaultParallelism (32) local
-    # partitions -> 32 one-row python decode tasks, each paying the
-    # fixed per-task Python-runner handshake (~0.13 s measured on this
-    # host); 4 partitions keep the decode parallel enough for 32 rows
-    # while cutting the fixed cost 8x (guide §2.2: fewer, larger tasks)
-    media = make_media_table(spark, n=32).coalesce(4)
+    media = make_media_table(spark, n=32)
     feat = extract_features(media).join(
         media.select("media_id", "content_sha256"), "content_sha256"
     )

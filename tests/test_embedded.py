@@ -579,3 +579,42 @@ def test_rdfa_about_with_property_on_same_element():
     assert err2 is None
     assert ("http://inner/2", "iri", "http://s/p", "v", "literal",
             XSD + "string", None) in ts2
+
+
+def test_embedded_dispatch_guards_are_conservative(spark):
+    """The fused extractor's substring dispatch guards must never drop
+    a syntax that would have emitted: pages with unusual but valid
+    casing/spacing for each trigger still extract, and a page with no
+    trigger tokens yields the same (empty) result as running every
+    scanner."""
+    from tortank_spark.extract import extract_embedded
+
+    pages = spark.createDataFrame(
+        [
+            # JSON-LD island with upper-cased type attribute value
+            ("u1", '<html><head><script TYPE="APPLICATION/LD+JSON">'
+                   '{"@context": {"@vocab": "http://e.org/"}, '
+                   '"@id": "http://e.org/x", "name": "n"}'
+                   '</script></head></html>'),
+            # RDFa with PROPERTY upper-cased in the markup (attr names
+            # are lowercased by the scanner; the guard must not drop
+            # the page just because the markup isn't lowercase)
+            ("u2", '<html><body vocab="http://e.org/">'
+                   '<div about="http://e.org/s">'
+                   '<span PROPERTY="name">v</span></div></body></html>'),
+            # microdata with mixed-case ItemScope/ItemProp
+            ("u3", '<div ItemScope itemtype="http://e.org/T">'
+                   '<span ItemProp="name">v</span></div>'),
+            # no trigger token at all -> nothing emitted, no error
+            ("u4", "<html><body>plain page</body></html>"),
+        ],
+        "url string, text string",
+    )
+    got = extract_embedded(pages, fixture_mode=True).collect()
+    by_url = {}
+    for r in got:
+        by_url.setdefault(r.url, []).append(r)
+    assert any(r.syntax == "jsonld" for r in by_url.get("u1", []))
+    assert any(r.syntax == "rdfa" for r in by_url.get("u2", []))
+    assert any(r.syntax == "microdata" for r in by_url.get("u3", []))
+    assert "u4" not in by_url

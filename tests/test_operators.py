@@ -2617,3 +2617,36 @@ def test_chunk_windows_reconstruct_document(spark):
             assert c[:overlap] == rebuilt[-overlap:]  # overlap agrees
             rebuilt.extend(c[overlap:])
         assert rebuilt == [f"w{i}" for i in range(n)], n
+
+
+def test_winnow_doc_fingerprint_set_equals_distinct_fingerprints(spark):
+    """The shuffle-free per-doc-distinct fp stage must produce exactly
+    the set winnow_dedup_pairs previously built as
+    winnow_fingerprints().select(id, fp).distinct() — including the
+    short-text whole-text-hash row and repeated-minimum texts."""
+    from tortank_spark.textops import (
+        winnow_doc_fingerprint_set, winnow_fingerprints,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog " * 4),
+        (2, "the quick brown fox jumps over the lazy dog " * 4),
+        (3, "completely different content with its own n-grams here"),
+        (4, "aaaaaaaaaaaaaaaaaaaaaaaa"),  # degenerate repeated minima
+        (5, "hi"),                          # shorter than k
+        (6, ""),                            # empty
+        (7, "unicode éè café naïve   text"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    want = sorted(
+        (r.doc_id, r.fp)
+        for r in winnow_fingerprints(docs, "doc_id")
+        .select("doc_id", "fp").distinct().collect()
+    )
+    got = sorted(
+        (r.doc_id, r.fp)
+        for r in winnow_doc_fingerprint_set(docs, "doc_id").collect()
+    )
+    assert got == want
+    # and rows are already unique (no duplicate (id, fp) anywhere)
+    assert len(got) == len(set(got))

@@ -241,6 +241,83 @@ def winnow_fingerprints(
     return df.select(id_col, text_col).mapInPandas(gen, schema=schema)
 
 
+def winnow_doc_fingerprint_set(
+    df: DataFrame, id_col: str, text_col: str = "text",
+    k: int = 5, w: int = 4,
+) -> DataFrame:
+    """Per-document DISTINCT winnow fingerprints: (id, fp) with the
+    same fp set as ``winnow_fingerprints(...).select(id, fp)
+    .distinct()`` but deduped inside the numpy stage (np.unique over
+    the selected window minima) — candidate generation needs only the
+    fp SET per doc, so shipping positions across Arrow and paying a
+    cluster-wide distinct shuffle on the ~80x-larger positioned table
+    is pure overhead (guide §2.3 'aggregate before you shuffle' /
+    'project before the exchange'). winnow_match_spans keeps the
+    positioned table — localization needs it."""
+    import numpy as np
+    from pyspark.sql.types import LongType
+
+    schema = StructType(
+        [
+            StructField(id_col, df.schema[id_col].dataType, False),
+            StructField("fp", LongType(), False),
+        ]
+    )
+    B, C = np.uint64(_WINNOW_B), np.uint64(_WINNOW_C)
+    s33, s29 = np.uint64(33), np.uint64(29)
+
+    def _finalize(h):
+        h = h ^ (h >> s33)
+        h = h * C
+        return h ^ (h >> s29)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fp_parts, counts = [], []
+            for text in pdf[text_col].values:
+                norm = _normalize_ws(text)
+                cp = np.frombuffer(
+                    norm.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.uint64)
+                n_grams = cp.size - k + 1
+                with np.errstate(over="ignore"):
+                    if n_grams <= 0:
+                        h = np.uint64(0)
+                        for c in cp:
+                            h = h * B + c
+                        fp_parts.append(
+                            np.array([_finalize(h)],
+                                     dtype=np.uint64).view(np.int64)
+                        )
+                        counts.append(1)
+                        continue
+                    h = np.zeros(n_grams, dtype=np.uint64)
+                    for j in range(k):
+                        h = h * B + cp[j : j + n_grams]
+                    hs = _finalize(h)
+                ww = min(w, n_grams)
+                win = np.lib.stride_tricks.sliding_window_view(hs, ww)
+                idx = (ww - 1) - np.argmin(win[:, ::-1], axis=1)
+                sel = np.unique(np.arange(len(win)) + idx)
+                fps = np.unique(hs[sel])  # per-doc distinct fp values
+                fp_parts.append(fps.view(np.int64))
+                counts.append(fps.size)
+            if not counts:
+                yield pd.DataFrame(
+                    {id_col: pdf[id_col].values[:0],
+                     "fp": np.zeros(0, dtype=np.int64)}
+                )
+                continue
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].values, counts),
+                    "fp": np.concatenate(fp_parts),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(gen, schema=schema)
+
+
 def winnow_dedup_pairs(
     df: DataFrame, id_col: str, text_col: str = "text",
     k: int = 5, w: int = 4, min_shared: int = 12, max_df: int = 50,
@@ -266,10 +343,12 @@ def winnow_dedup_pairs(
     ``handle.release()`` after the terminal action."""
     from .dedup import CacheHandle
 
-    fps = (
-        winnow_fingerprints(df, id_col, text_col, k, w)
-        .select(id_col, "fp").distinct().persist()
-    )
+    # per-doc-distinct (id, fp) straight from the numpy stage: set-
+    # equal to winnow_fingerprints().select(id, fp).distinct() but
+    # without shipping positions over Arrow or paying the distinct's
+    # full shuffle (rows are already unique within a doc, and (id, fp)
+    # rows from different docs can never collide)
+    fps = winnow_doc_fingerprint_set(df, id_col, text_col, k, w).persist()
     rare = fps.groupBy("fp").agg(F.count("*").alias("_df")).filter(
         F.col("_df") <= max_df
     ).select("fp")
