@@ -349,8 +349,14 @@ def winnow_dedup_pairs(
     # full shuffle (rows are already unique within a doc, and (id, fp)
     # rows from different docs can never collide)
     fps = winnow_doc_fingerprint_set(df, id_col, text_col, k, w).persist()
+    # df >= 2 is a pure prune: a fingerprint seen in ONE document can
+    # never witness a pair (the self-join needs a < b within the same
+    # fp), and singleton fps are the vast majority of a real corpus
+    # (~4.2M of 4.2M rows at sf1.0 minus a few hundred) — dropping
+    # them BEFORE the equi-join removes almost the entire sort-merge
+    # input (guide §3.2: reduce the big side before shuffling it)
     rare = fps.groupBy("fp").agg(F.count("*").alias("_df")).filter(
-        F.col("_df") <= max_df
+        (F.col("_df") >= 2) & (F.col("_df") <= max_df)
     ).select("fp")
     narrowed = fps.join(rare, "fp")
     l = narrowed.select(F.col(id_col).alias("a"), "fp")
@@ -408,8 +414,12 @@ def winnow_match_spans(
         winnow_fingerprints(df, id_col, text_col, k, w)
         .select(id_col, "pos", "fp").distinct().persist()
     )
+    # _df >= 2 is a pure prune (same argument as winnow_dedup_pairs):
+    # a single-row fingerprint cannot appear in two documents, so it
+    # can never contribute a shared span; singleton fps dominate the
+    # positioned table and would otherwise flow through both join sides
     rare = fps.groupBy("fp").agg(F.count("*").alias("_df")).filter(
-        F.col("_df") <= max_df
+        (F.col("_df") >= 2) & (F.col("_df") <= max_df)
     ).select("fp")
     nar = fps.join(rare, "fp")
     left = nar.select(F.col(id_col).alias("a"), "pos", "fp")
