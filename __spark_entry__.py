@@ -911,10 +911,12 @@ def _q_minhash_neardup(spark, sf_dir):
     sigs = minhash_signatures(docs, "doc_id").persist()
     cand = lsh_candidate_pairs(sigs, "doc_id").persist()
     try:
-        verified = ngram_jaccard_pairs(docs, cand, "doc_id")
-        return verified.filter(F.col("jaccard") >= 0.5).select(
-            "a", "b", F.round("jaccard", 4).alias("jaccard")
-        ).localCheckpoint(eager=True)
+        verified, shingle_cache = ngram_jaccard_pairs(
+            docs, cand, "doc_id", cache_shingles=True)
+        with shingle_cache:
+            return verified.filter(F.col("jaccard") >= 0.5).select(
+                "a", "b", F.round("jaccard", 4).alias("jaccard")
+            ).localCheckpoint(eager=True)
     finally:
         cand.unpersist()
         sigs.unpersist()
@@ -936,10 +938,12 @@ def _q_minhash_verified(spark, sf_dir):
     sigs = minhash_signatures(docs, "doc_id").persist()
     cand = lsh_candidate_pairs(sigs, "doc_id").persist()
     try:
-        verified = ngram_jaccard_pairs(docs, cand, "doc_id")
-        return verified.filter(F.col("jaccard") >= 0.8).select(
-            "a", "b", F.round("jaccard", 4).alias("jaccard")
-        ).localCheckpoint(eager=True)
+        verified, shingle_cache = ngram_jaccard_pairs(
+            docs, cand, "doc_id", cache_shingles=True)
+        with shingle_cache:
+            return verified.filter(F.col("jaccard") >= 0.8).select(
+                "a", "b", F.round("jaccard", 4).alias("jaccard")
+            ).localCheckpoint(eager=True)
     finally:
         cand.unpersist()
         sigs.unpersist()
@@ -1077,12 +1081,13 @@ def _q_dedup_clusters(spark, sf_dir):
     sigs = minhash_signatures(docs, "doc_id").persist()
     cand = lsh_candidate_pairs(sigs, "doc_id").persist()
     try:
-        pairs = ngram_jaccard_pairs(docs, cand, "doc_id").filter(
-            F.col("jaccard") >= 0.8
-        )
-        return dedup_clusters(pairs, docs, "doc_id").localCheckpoint(
-            eager=True
-        )
+        pairs, shingle_cache = ngram_jaccard_pairs(
+            docs, cand, "doc_id", cache_shingles=True)
+        pairs = pairs.filter(F.col("jaccard") >= 0.8)
+        with shingle_cache:
+            return dedup_clusters(pairs, docs, "doc_id").localCheckpoint(
+                eager=True
+            )
     finally:
         cand.unpersist()
         sigs.unpersist()

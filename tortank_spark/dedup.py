@@ -574,8 +574,8 @@ def _shingles_expr(text_col: str, n: int):
 
 def ngram_jaccard_pairs(
     df: DataFrame, pairs: DataFrame, id_col: str, text_col: str = "text",
-    n: int = 3,
-) -> DataFrame:
+    n: int = 3, cache_shingles: bool = False,
+):
     """Exact n-gram (word-shingle) Jaccard on candidate pairs — the
     verification stage. JVM-side: shingle arrays via transform over a
     token sequence, intersection/union sizes via array functions.
@@ -586,7 +586,15 @@ def ngram_jaccard_pairs(
     on both join sides would be ~100x wasted compute + shuffle width
     (the round-3 hot stage). ``pairs`` is referenced three times (the
     pair join + both semi-join sides) — pass a persisted/materialized
-    pairs DF so its subtree isn't recomputed."""
+    pairs DF so its subtree isn't recomputed.
+
+    The shingled candidate table itself feeds BOTH pair-join sides, so
+    without caching the scan+semi-join+shingle pipeline runs twice.
+    ``cache_shingles=True`` persists it (bounded by the candidate-doc
+    count — the same fits-in-storage argument as the pairs cache) and
+    returns ``(jaccard_df, CacheHandle)``; call ``handle.release()``
+    after the terminal action. Default False keeps the plain-DataFrame
+    return for callers that run the plan once."""
     cand_ids = (
         pairs.select(F.col("a").alias(id_col))
         .union(pairs.select(F.col("b").alias(id_col)))
@@ -596,15 +604,20 @@ def ngram_jaccard_pairs(
     with_sh = df.join(cand_ids, id_col, "semi").select(
         F.col(id_col), sh.alias("_sh")
     )
+    if cache_shingles:
+        with_sh = with_sh.persist()
     a = with_sh.select(F.col(id_col).alias("a"), F.col("_sh").alias("_sha"))
     b = with_sh.select(F.col(id_col).alias("b"), F.col("_sh").alias("_shb"))
     j = pairs.join(a, "a").join(b, "b")
     inter = F.size(F.array_intersect("_sha", "_shb"))
     union = F.size(F.array_union("_sha", "_shb"))
-    return j.select(
+    out = j.select(
         "a", "b",
         (inter / F.greatest(union, F.lit(1))).alias("jaccard"),
     )
+    if cache_shingles:
+        return out, CacheHandle([with_sh])
+    return out
 
 
 def rare_ngram_candidate_pairs(
@@ -663,15 +676,17 @@ def ngram_jaccard_dedup_pairs(
     cand = rare_ngram_candidate_pairs(
         df, id_col, text_col=text_col, n=n, max_df=max_df
     ).persist()
-    out = ngram_jaccard_pairs(
-        df, cand, id_col, text_col=text_col, n=n
-    ).filter(F.col("jaccard") >= threshold).select(
+    verified, shingle_cache = ngram_jaccard_pairs(
+        df, cand, id_col, text_col=text_col, n=n, cache_shingles=True
+    )
+    out = verified.filter(F.col("jaccard") >= threshold).select(
         "a", "b", F.round("jaccard", 4).alias("jaccard")
     )
     if not eager:
-        return out, CacheHandle([cand])
+        return out, CacheHandle([cand, *shingle_cache._deps])
     try:
-        return out.localCheckpoint(eager=True)
+        with shingle_cache:
+            return out.localCheckpoint(eager=True)
     finally:
         cand.unpersist()
 
