@@ -189,6 +189,22 @@ def test_statement_dedup():
     assert len(triples) == 1
 
 
+def test_statement_dedup_keeps_first_occurrence_order():
+    # dedup now happens once at end of parse (dict.fromkeys) instead of
+    # per emission; the observable contract is unchanged: duplicates
+    # collapse onto their FIRST occurrence, other triples keep document
+    # order around them
+    text = (
+        "<http://a> <http://p> <http://x> .\n"
+        "<http://a> <http://p> <http://y> .\n"
+        "<http://a> <http://p> <http://x> .\n"
+        "<http://a> <http://p> <http://z> , <http://y> .\n"
+    )
+    triples, err = parse_document(text)
+    assert err is None
+    assert [t[3] for t in triples] == ["http://x", "http://y", "http://z"]
+
+
 def test_unknown_prefix_fails_doc():
     _, err = parse_document("p:a p:b p:c .")
     assert err and "unknown" in err

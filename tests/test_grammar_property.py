@@ -235,3 +235,10 @@ def test_fast_canonical_datetime_z_matches_slow_path():
     for v in ["2024-10-05 03:12:45Z", "2024-10-05T03:12:45+02:00",
               "2024-10-05T03:12:45", "2024-10-05t03:12:45Z"]:
         assert fast_canonical_datetime_z(v) is None
+    # the 3-fractional-digit shape returns the input digits verbatim —
+    # exhaustively equal to the float-round-trip rendering for all 1000
+    # millisecond values
+    for ddd in range(1000):
+        v = f"2024-10-05T03:12:45.{ddd:03d}Z"
+        inst = parse_instant(v, 0)
+        assert fast_canonical_datetime_z(v) == canonical_datetime(inst, False)

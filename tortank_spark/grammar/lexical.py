@@ -202,6 +202,12 @@ def fast_canonical_datetime_z(value: str):
     frac = m.group(7)
     if not frac:
         return value[:19] + ".000Z"
+    if len(frac) == 4:
+        # exactly 3 fractional digits (the dominant millisecond shape):
+        # int(float('.'+ddd) * 1e6) // 1000 == int(ddd) for every ddd in
+        # 000..999 (verified exhaustively), so the canonical millis are
+        # the input digits verbatim — no float round trip
+        return value[:19] + frac + "Z"
     micro = int(float(frac) * 1_000_000)
     return f"{value[:19]}.{micro // 1000:03d}Z"
 

@@ -109,6 +109,17 @@ IRI_K = "iri"
 BNODE_K = "bnode"
 LIT_K = "literal"
 
+# Shared immutable Nodes for the grammar's constant IRIs ('a',
+# collection cells), built after the Node class below. Safe to share:
+# Node is immutable after construction except _had_preds, which is only
+# ever set on freshly-allocated anon bnodes (_anon_bnode), never on
+# these. Allocating a fresh Node per rdf:type/first/rest/nil emission
+# was a measurable slice of parse time.
+_NODE_RDF_TYPE = None  # type: ignore[assignment]
+_NODE_RDF_NIL = None  # type: ignore[assignment]
+_NODE_RDF_FIRST = None  # type: ignore[assignment]
+_NODE_RDF_REST = None  # type: ignore[assignment]
+
 
 from functools import lru_cache
 
@@ -165,6 +176,12 @@ class Node:
         self.lang = lang
 
 
+_NODE_RDF_TYPE = Node(IRI_K, RDF_TYPE)
+_NODE_RDF_NIL = Node(IRI_K, RDF_NIL)
+_NODE_RDF_FIRST = Node(IRI_K, RDF_FIRST)
+_NODE_RDF_REST = Node(IRI_K, RDF_REST)
+
+
 class TurtleParser:
     """One-shot parser for a single document string.
 
@@ -203,7 +220,6 @@ class TurtleParser:
         # (turtle_doc.rs:1225-1231); default canonicalizes to UTC Z
         self.preserve_dt_offset = preserve_datetime_offset
         self.triples: list[tuple] = []
-        self._seen: set[tuple] = set()
 
     # ---------- low-level scanning ----------
 
@@ -237,12 +253,16 @@ class TurtleParser:
     def _comments(self):
         """many0 of: ws, '#', take_until('\\n'), line ending
         (triple_common_parser.rs:407-414). A '#' with no following
-        newline is not a comment (backtracked)."""
+        newline is not a comment (backtracked). The cursor only moves
+        past complete comments — skipped whitespace is restored, like
+        the method-call version this inlines (ws scan is hot)."""
+        s, n = self.s, self.n
         while True:
-            save = self.i
-            self._ws()
-            if self.i < self.n and self.s[self.i] == "#":
-                nl = self.s.find("\n", self.i + 1, self.n)
+            save = i = self.i
+            while i < n and s[i] in " \t\r\n":
+                i += 1
+            if i < n and s[i] == "#":
+                nl = s.find("\n", i + 1, n)
                 if nl == -1:
                     self.i = save
                     return
@@ -254,7 +274,6 @@ class TurtleParser:
     def _rollback(self, mark: int, counter_mark: int):
         if len(self.triples) > mark:
             del self.triples[mark:]
-            self._seen = set(self.triples)
         self.bnode_counter = counter_mark
 
     # ---------- terms ----------
@@ -470,17 +489,11 @@ class TurtleParser:
         """Typed coercion at build time (turtle_doc.rs:600-710).
         bool/int/decimal/double raise CoercionError (hard doc error);
         date/dateTime fall back to the verbatim quoted literal; time and
-        opaque datatypes stay verbatim (see grammar/lexical.py)."""
-        if dt == XSD_BOOLEAN:
-            return Node(LIT_K, "true" if parse_bool_strict(value) else "false", dt)
-        if dt == XSD_INTEGER:
-            return Node(LIT_K, str(parse_i64_strict(value)), dt)
-        if dt == XSD_DECIMAL:
-            return Node(LIT_K, rust_f32_str(parse_f32_strict(value)), dt)
-        if dt == XSD_DOUBLE:
-            return Node(LIT_K, rust_f64_str(parse_f64_strict(value)), dt)
-        if dt in (XSD_DATE_TIME, XSD_DATE):
-            if dt == XSD_DATE_TIME and not self.preserve_dt_offset:
+        opaque datatypes stay verbatim (see grammar/lexical.py). The
+        branches are mutually exclusive equality tests, so dateTime —
+        the dominant typed literal on web corpora — is checked first."""
+        if dt == XSD_DATE_TIME:
+            if not self.preserve_dt_offset:
                 # hot path: 'YYYY-MM-DDTHH:MM:SS(.f)Z' renders its own
                 # canonical form without a datetime round trip; None
                 # falls through to the full chrono-ladder replay
@@ -489,12 +502,24 @@ class TurtleParser:
                     return Node(LIT_K, fast, dt)
             inst = parse_instant(value, self.local_off)
             if inst is not None:
-                canon = (
-                    canonical_datetime(inst, self.preserve_dt_offset)
-                    if dt == XSD_DATE_TIME
-                    else canonical_date(inst)
+                return Node(
+                    LIT_K,
+                    canonical_datetime(inst, self.preserve_dt_offset),
+                    dt,
                 )
-                return Node(LIT_K, canon, dt)
+            return Node(LIT_K, value, dt)
+        if dt == XSD_BOOLEAN:
+            return Node(LIT_K, "true" if parse_bool_strict(value) else "false", dt)
+        if dt == XSD_INTEGER:
+            return Node(LIT_K, str(parse_i64_strict(value)), dt)
+        if dt == XSD_DECIMAL:
+            return Node(LIT_K, rust_f32_str(parse_f32_strict(value)), dt)
+        if dt == XSD_DOUBLE:
+            return Node(LIT_K, rust_f64_str(parse_f64_strict(value)), dt)
+        if dt == XSD_DATE:
+            inst = parse_instant(value, self.local_off)
+            if inst is not None:
+                return Node(LIT_K, canonical_date(inst), dt)
         return Node(LIT_K, value, dt)
 
     # ---------- numeric / boolean ----------
@@ -615,16 +640,16 @@ class TurtleParser:
         else:
             raise DocError("expected ')' closing collection")
         if not thunks:
-            return Node(IRI_K, RDF_NIL)
+            return _NODE_RDF_NIL
         cells = []
         for d in thunks:
             cell = self._new_bnode()
             item = self._materialize(d)
-            self._emit(cell, Node(IRI_K, RDF_FIRST), item)
+            self._emit(cell, _NODE_RDF_FIRST, item)
             cells.append(cell)
         for idx in range(len(cells) - 1, -1, -1):
-            rest = cells[idx + 1] if idx + 1 < len(cells) else Node(IRI_K, RDF_NIL)
-            self._emit(cells[idx], Node(IRI_K, RDF_REST), rest)
+            rest = cells[idx + 1] if idx + 1 < len(cells) else _NODE_RDF_NIL
+            self._emit(cells[idx], _NODE_RDF_REST, rest)
         return cells[0]
 
     # ---------- deferred object parsing ----------
@@ -761,7 +786,6 @@ class TurtleParser:
         below: these are the hottest scan sites (~1/3 of all _ws time),
         and a local char-class loop avoids ~150k method calls per 600
         realistic pages."""
-        save = self.i
         s, i, n = self.s, self.i, self.n
         while i < n and s[i] in " \t\r\n":
             i += 1
@@ -770,8 +794,11 @@ class TurtleParser:
             m = _WS1_RE.match(s, i + 1)
             if m:
                 self.i = m.end()
-                return Node(IRI_K, RDF_TYPE)
-        self.i = save
+                return _NODE_RDF_TYPE
+        # keep the cursor past the whitespace already scanned above:
+        # _iri_resolved's own ws skip is idempotent, so re-scanning from
+        # ``save`` would just repeat the scan (hot call site)
+        self.i = i
         return self._iri_resolved()
 
     def _object_list(self):
@@ -818,7 +845,12 @@ class TurtleParser:
     # ---------- emission ----------
 
     def _emit(self, s: Node, p: Node, o: Node):
-        row = (
+        # duplicates are appended here and removed once at end of parse
+        # (dict.fromkeys keeps the first occurrence, which is exactly
+        # what the old per-emit seen-set kept): per-doc statement dedup
+        # (turtle_doc.rs:777-790,533) is an output property, and paying
+        # a tuple hash + set probe per emission was ~5% of parse time
+        self.triples.append((
             ("_:" + s.value) if s.kind == BNODE_K else s.value,
             s.kind,
             p.value,
@@ -826,10 +858,7 @@ class TurtleParser:
             o.kind,
             o.datatype,
             o.lang,
-        )
-        if row not in self._seen:
-            self._seen.add(row)
-            self.triples.append(row)
+        ))
 
     def _materialize(self, d) -> Node:
         tag = d[0]
@@ -990,7 +1019,8 @@ class TurtleParser:
                 "could not parse the doc completely: rest => "
                 + repr(self.s[self.i : self.i + 80])
             )
-        return self.triples
+        # per-doc statement dedup, first occurrence wins (see _emit)
+        return list(dict.fromkeys(self.triples))
 
 
 def _replay(parser: TurtleParser, start: int, end: int, what: str):
